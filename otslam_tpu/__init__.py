@@ -1,0 +1,23 @@
+"""otslam_tpu — a TPU-native selective 3D mapping framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of OTSLAM
+(object-triggered 3D SLAM, reference: TakiRyo/object-triggered-3D-SLAM):
+a service robot keeps a lightweight 2D occupancy map, detects objects and
+object-level *changes* with a 2D LiDAR, navigates to each object, triggers
+targeted RGB-D captures, TSDF-fuses only those captures into per-object 3D
+models, and merges the 2D map with the 3D object clouds into a hybrid map.
+
+Layer map (mirrors SURVEY.md):
+  core/         camera model, SE(3)/frames, occupancy-grid types, PLY/PGM/YAML io
+  kernels/      JAX/Pallas compute kernels (backproject, TSDF, raycast, diff, ...)
+  pipeline/     dataset reader + frame->TSDF->point-cloud reconstruction
+  mapping/      virtual scan, change detection, selective merge, hybrid map
+  mission/      tracker, visiting points, goal queue, manager FSM (host-side)
+  sim/          analytic scene/sensor simulator (replaces Gazebo as the fixture)
+  eval/         accuracy/completeness metrics, ICP, eval scenarios
+  distributed/  device-mesh sharding of fusion/eval workloads
+"""
+
+__version__ = "0.1.0"
+
+from otslam_tpu.config import OTSLAMConfig  # noqa: F401
