@@ -1,0 +1,351 @@
+"""Block-sparse TSDF fusion — the fast path.
+
+Open3D's ``ScalableTSDFVolume`` (the reference's volume type,
+reconstruct_rgbd.py:79-83) is a hash map of 16^3 voxel "volume units" created
+lazily near observed surfaces; only existing units are integrated. This module
+is the TPU-native equivalent:
+
+* The volume is a **fixed grid of 8^3 voxel blocks stored block-major**:
+  ``tsdf/weight: (NB+1, 512)`` where row b holds block b's voxels and the last
+  row is a dead row for padding (gather/scatter there is a no-op). Block-major
+  rows make the active working set move as contiguous row DMAs — measured ~6x
+  faster than element gathers on TPU.
+* A persistent ``created`` bitmask replaces the hash map: a block is created
+  when it first falls within ``sdf_trunc`` (+ a one-block skirt) of an
+  observed surface, and every created block inside the frustum is integrated
+  each frame (free-space carving inside created blocks, like Open3D).
+* Per frame, block activity is decided entirely with fused elementwise math
+  over all blocks plus a min/max depth mip pyramid — no data-dependent
+  shapes. Active block ids are compacted to a static ``max_active`` capacity
+  with ``nonzero(size=...)``.
+* Only active blocks are gathered, updated (voxel-projection sampling of the
+  depth/color images), and scattered back. The depth sample is the remaining
+  element-gather; kernels/tsdf_pallas.py replaces it with an MXU one-hot
+  sampling kernel.
+
+Numerically the update is identical to kernels/tsdf.py (same running weighted
+mean); tests assert dense/sparse agreement on the created region.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from otslam_tpu.config import TSDFConfig
+from otslam_tpu.core.camera import PinholeIntrinsics
+from otslam_tpu.kernels.tsdf import TSDFVolume
+
+BLOCK = 8               # voxels per block edge
+BLOCK_VOXELS = BLOCK ** 3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockTSDFVolume:
+    """Block-major sparse TSDF volume.
+
+    tsdf/weight: (NB+1, 512) f32; color: (NB+1, 1536) f32 — per-block RGB
+    laid out channel-major in one row ([R*512 | G*512 | B*512], values in
+    [0,255]) so the whole block state moves as two row DMAs; created: (NB+1,)
+    bool. Row NB is the dead padding row.
+    """
+
+    tsdf: jnp.ndarray
+    weight: jnp.ndarray
+    color: jnp.ndarray
+    created: jnp.ndarray
+    origin: Tuple[float, float, float]
+    voxel_size: float
+    sdf_trunc: float
+    grid_blocks: Tuple[int, int, int]
+
+    def tree_flatten(self):
+        return (self.tsdf, self.weight, self.color, self.created), (
+            self.origin, self.voxel_size, self.sdf_trunc, self.grid_blocks)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1], aux[2], aux[3])
+
+    @property
+    def num_blocks(self) -> int:
+        bx, by, bz = self.grid_blocks
+        return bx * by * bz
+
+
+def make_block_volume(cfg: TSDFConfig, dtype=jnp.float32) -> BlockTSDFVolume:
+    X, Y, Z = cfg.dims
+    if any(d % BLOCK for d in cfg.dims):
+        raise ValueError(f"dims {cfg.dims} must be multiples of {BLOCK}")
+    gb = (X // BLOCK, Y // BLOCK, Z // BLOCK)
+    nb = gb[0] * gb[1] * gb[2]
+    return BlockTSDFVolume(
+        tsdf=jnp.zeros((nb + 1, BLOCK_VOXELS), dtype),
+        weight=jnp.zeros((nb + 1, BLOCK_VOXELS), dtype),
+        color=jnp.zeros((nb + 1, 3 * BLOCK_VOXELS), dtype),
+        created=jnp.zeros((nb + 1,), bool),
+        origin=tuple(float(o) for o in cfg.origin),
+        voxel_size=float(cfg.voxel_size),
+        sdf_trunc=float(cfg.sdf_trunc),
+        grid_blocks=gb,
+    )
+
+
+def _block_centers(vol: BlockTSDFVolume):
+    """(NB,) world-space block center coordinates, one array per axis."""
+    bx, by, bz = vol.grid_blocks
+    ids = jnp.arange(bx * by * bz)
+    ix = ids // (by * bz)
+    iy = (ids // bz) % by
+    iz = ids % bz
+    half = 0.5 * BLOCK * vol.voxel_size
+    cx = vol.origin[0] + ix.astype(jnp.float32) * BLOCK * vol.voxel_size + half
+    cy = vol.origin[1] + iy.astype(jnp.float32) * BLOCK * vol.voxel_size + half
+    cz = vol.origin[2] + iz.astype(jnp.float32) * BLOCK * vol.voxel_size + half
+    return cx, cy, cz
+
+
+def _depth_mips(depth: jnp.ndarray, tile: int = 16):
+    """Dilated min/max depth mip, packed for a single row-gather.
+
+    Returns a (th*tw, 8) table: per level-0 tile (tile x tile px) the columns
+    are [dmin0, dmax0, dmin1, dmax1, pad...] where level 1 is the tile's 4x4
+    parent. Packing both levels in one row means block classification needs
+    exactly one row-gather (measured ~12x faster than 4 element-gathers on
+    TPU). Invalid pixels are excluded (min via +inf, max via 0); a 3x3
+    dilation makes border-straddling footprints conservative.
+    """
+    H, W = depth.shape
+    th, tw = H // tile, W // tile
+    d = depth.reshape(th, tile, tw, tile)
+    valid = d > 0
+    dmin0 = jnp.min(jnp.where(valid, d, jnp.inf), axis=(1, 3))
+    dmax0 = jnp.max(jnp.where(valid, d, 0.0), axis=(1, 3))
+
+    def pool3(m, reducer, pad_val):
+        p = jnp.pad(m, 1, constant_values=pad_val)
+        stack = jnp.stack([p[i:i + th, j:j + tw] for i in range(3) for j in range(3)])
+        return reducer(stack, axis=0)
+    dmin0 = pool3(dmin0, jnp.min, jnp.inf)
+    dmax0 = pool3(dmax0, jnp.max, 0.0)
+
+    # level 1: 4x coarser (pad to multiples of 4 first)
+    ph, pw = (-th) % 4, (-tw) % 4
+    dmin_p = jnp.pad(dmin0, ((0, ph), (0, pw)), constant_values=jnp.inf)
+    dmax_p = jnp.pad(dmax0, ((0, ph), (0, pw)), constant_values=0.0)
+    t1h, t1w = (th + ph) // 4, (tw + pw) // 4
+    dmin1 = jnp.min(dmin_p.reshape(t1h, 4, t1w, 4), axis=(1, 3))
+    dmax1 = jnp.max(dmax_p.reshape(t1h, 4, t1w, 4), axis=(1, 3))
+
+    # dilate level 1 as well: footprints larger than a level-1 tile stay
+    # conservative when classified by their center tile's parent
+    def pool3_l1(m, reducer, pad_val):
+        p = jnp.pad(m, 1, constant_values=pad_val)
+        stack = jnp.stack([p[i:i + t1h, j:j + t1w]
+                           for i in range(3) for j in range(3)])
+        return reducer(stack, axis=0)
+    dmin1 = pool3_l1(dmin1, jnp.min, jnp.inf)
+    dmax1 = pool3_l1(dmax1, jnp.max, 0.0)
+    # broadcast each tile's parent back to level-0 layout
+    dmin1_full = jnp.repeat(jnp.repeat(dmin1, 4, 0), 4, 1)[:th, :tw]
+    dmax1_full = jnp.repeat(jnp.repeat(dmax1, 4, 0), 4, 1)[:th, :tw]
+    table = jnp.stack([dmin0, dmax0, dmin1_full, dmax1_full], axis=-1)
+    table = jnp.pad(table.reshape(th * tw, 4), ((0, 0), (0, 4)))
+    return table, th, tw
+
+
+def _active_blocks(vol: BlockTSDFVolume, depth: jnp.ndarray,
+                   extrinsic: jnp.ndarray, intr: PinholeIntrinsics):
+    """Per-frame block classification.
+
+    Returns (band, visible): band = block within the truncation band of this
+    frame's surface (drives creation); visible = block inside the frustum with
+    plausible depth overlap (drives integration of created blocks).
+    """
+    cx, cy, cz = _block_centers(vol)
+    E = extrinsic.astype(jnp.float32)
+    px = E[0, 0] * cx + E[0, 1] * cy + E[0, 2] * cz + E[0, 3]
+    py = E[1, 0] * cx + E[1, 1] * cy + E[1, 2] * cz + E[1, 3]
+    pz = E[2, 0] * cx + E[2, 1] * cy + E[2, 2] * cz + E[2, 3]
+
+    r = 0.8661 * BLOCK * vol.voxel_size  # block bounding-sphere radius (+eps)
+    in_front = pz > r * 0.5
+    zsafe = jnp.where(pz > 1e-6, pz, 1e-6)
+    u = intr.fx * px / zsafe + intr.cx
+    v = intr.fy * py / zsafe + intr.cy
+    # pixel slack: projected bounding-sphere radius
+    slack = jnp.maximum(intr.fx, intr.fy) * r / zsafe + 1.0
+    in_frustum = (in_front & (u + slack >= 0) & (u - slack < intr.width)
+                  & (v + slack >= 0) & (v - slack < intr.height))
+
+    tile = 16
+    table, th, tw = _depth_mips(depth, tile)
+    # choose mip level by footprint size; one packed row-gather serves both
+    use_l1 = slack > (tile * 1.5)
+    tu0 = jnp.clip((u / tile).astype(jnp.int32), 0, tw - 1)
+    tv0 = jnp.clip((v / tile).astype(jnp.int32), 0, th - 1)
+    rows = jnp.take(table, tv0 * tw + tu0, axis=0)
+    bmin = jnp.where(use_l1, rows[:, 2], rows[:, 0])
+    bmax = jnp.where(use_l1, rows[:, 3], rows[:, 1])
+
+    has_depth = bmax > 0
+    band = (in_frustum & has_depth
+            & (pz + r >= bmin - vol.sdf_trunc)
+            & (pz - r <= bmax + vol.sdf_trunc))
+    # visible: anything in the frustum in front of (or at) the far surface
+    visible = in_frustum & has_depth & (pz - r <= bmax + vol.sdf_trunc)
+    return band, visible
+
+
+def _voxel_world_coords(vol: BlockTSDFVolume, ids: jnp.ndarray):
+    """World coords of the 512 voxel centers of each block id: (A, 512) x 3."""
+    bx, by, bz = vol.grid_blocks
+    ix = ids // (by * bz)
+    iy = (ids // bz) % by
+    iz = ids % bz
+    l = jnp.arange(BLOCK_VOXELS)
+    lx = (l // (BLOCK * BLOCK))[None, :]
+    ly = ((l // BLOCK) % BLOCK)[None, :]
+    lz = (l % BLOCK)[None, :]
+    vs = vol.voxel_size
+    wx = vol.origin[0] + ((ix[:, None] * BLOCK + lx).astype(jnp.float32) + 0.5) * vs
+    wy = vol.origin[1] + ((iy[:, None] * BLOCK + ly).astype(jnp.float32) + 0.5) * vs
+    wz = vol.origin[2] + ((iz[:, None] * BLOCK + lz).astype(jnp.float32) + 0.5) * vs
+    return wx, wy, wz
+
+
+def _sample_frame(wx, wy, wz, depth, color_packed, extrinsic,
+                  intr: PinholeIntrinsics, sdf_trunc: float):
+    """Voxel-projection sampling for (A, 512) voxel coords.
+
+    color_packed: (H, W) uint32 with RGB packed in the low 24 bits (single
+    gather for all three channels). Returns (tsdf_obs, w_obs, col_obs(3,A,512)).
+    """
+    E = extrinsic.astype(jnp.float32)
+    px = E[0, 0] * wx + E[0, 1] * wy + E[0, 2] * wz + E[0, 3]
+    py = E[1, 0] * wx + E[1, 1] * wy + E[1, 2] * wz + E[1, 3]
+    pz = E[2, 0] * wx + E[2, 1] * wy + E[2, 2] * wz + E[2, 3]
+    in_front = pz > 0
+    zsafe = jnp.where(in_front, pz, 1.0)
+    u = jnp.round(intr.fx * px / zsafe + intr.cx).astype(jnp.int32)
+    v = jnp.round(intr.fy * py / zsafe + intr.cy).astype(jnp.int32)
+    inb = in_front & (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height)
+    flat = (jnp.clip(v, 0, intr.height - 1) * intr.width
+            + jnp.clip(u, 0, intr.width - 1))
+    d = jnp.take(depth.reshape(-1), flat)
+    packed = jnp.take(color_packed.reshape(-1), flat)
+
+    sdf = d - pz
+    valid = inb & (d > 0) & (sdf >= -sdf_trunc)
+    tsdf_obs = jnp.where(valid, jnp.minimum(sdf / sdf_trunc, 1.0), 0.0)
+    w_obs = valid.astype(jnp.float32)
+    r = (packed & 0xFF).astype(jnp.float32)
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    b = ((packed >> 16) & 0xFF).astype(jnp.float32)
+    # channel-major flat color rows: (A, 1536)
+    col_obs = jnp.concatenate([r, g, b], axis=-1) * jnp.tile(w_obs, (1, 3))
+    return tsdf_obs, w_obs, col_obs
+
+
+def compact_ids(active: jnp.ndarray, max_active: int, nb: int) -> jnp.ndarray:
+    """Compact active block indices to a static capacity, padded with ``nb``
+    (the dead row). Stable argsort of the negated mask is markedly faster on
+    TPU than ``jnp.nonzero(size=...)`` and keeps ids in ascending order."""
+    order = jnp.argsort(~active, stable=True)[:max_active]
+    count = jnp.sum(active.astype(jnp.int32))
+    return jnp.where(jnp.arange(max_active) < count, order, nb).astype(jnp.int32)
+
+
+def pack_rgb(color: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) float [0,255] or uint8 -> (H, W) uint32 packed 0x00BBGGRR."""
+    c = jnp.clip(color, 0, 255).astype(jnp.uint32)
+    return c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+
+
+@partial(jax.jit, static_argnames=("intr", "max_active"), donate_argnums=(0,))
+def integrate_frames_sparse(vol: BlockTSDFVolume, depths: jnp.ndarray,
+                            colors: jnp.ndarray, extrinsics: jnp.ndarray,
+                            intr: PinholeIntrinsics,
+                            max_active: int = 4096) -> BlockTSDFVolume:
+    """Fuse a batch of frames through the block-sparse path.
+
+    depths (N,H,W) f32 meters (0 invalid), colors (N,H,W,3) [0,255],
+    extrinsics (N,4,4) world->camera. One dispatch for the whole batch.
+    """
+    nb = vol.num_blocks
+    color_packed = jax.vmap(pack_rgb)(colors)
+
+    def step(carry, frame):
+        tsdf, weight, color, created = carry
+        depth, cpacked, extrinsic = frame
+        v = BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
+                            vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)
+        band, visible = _active_blocks(v, depth, extrinsic, intr)
+        created_new = created.at[:nb].set(created[:nb] | band)
+        active = created_new[:nb] & visible
+        ids = compact_ids(active, max_active, nb)
+
+        wx, wy, wz = _voxel_world_coords(v, ids)
+        tsdf_obs, w_obs, col_obs = _sample_frame(
+            wx, wy, wz, depth, cpacked, extrinsic, intr, vol.sdf_trunc)
+
+        t_rows = jnp.take(tsdf, ids, axis=0)
+        w_rows = jnp.take(weight, ids, axis=0)
+        c_rows = jnp.take(color, ids, axis=0)
+
+        w_new = w_rows + w_obs
+        denom = jnp.maximum(w_new, 1.0)
+        t_new = (t_rows * w_rows + tsdf_obs * w_obs) / denom
+        w3 = jnp.tile(w_rows, (1, 3))
+        c_new = (c_rows * w3 + col_obs) / jnp.tile(denom, (1, 3))
+
+        tsdf = tsdf.at[ids].set(t_new, unique_indices=True)
+        weight = weight.at[ids].set(w_new, unique_indices=True)
+        color = color.at[ids].set(c_new, unique_indices=True)
+        return (tsdf, weight, color, created_new), None
+
+    init = (vol.tsdf, vol.weight, vol.color, vol.created)
+    (tsdf, weight, color, created), _ = jax.lax.scan(
+        init=init, xs=(depths, color_packed, extrinsics), f=step)
+    return BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
+                           vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)
+
+
+@jax.jit
+def block_to_dense(vol: BlockTSDFVolume) -> TSDFVolume:
+    """Expand the block volume to a dense TSDFVolume (for extraction etc.)."""
+    bx, by, bz = vol.grid_blocks
+    X, Y, Z = bx * BLOCK, by * BLOCK, bz * BLOCK
+
+    def expand(rows):  # (NB+1, 512) -> (X, Y, Z)
+        g = rows[:-1].reshape(bx, by, bz, BLOCK, BLOCK, BLOCK)
+        return g.transpose(0, 3, 1, 4, 2, 5).reshape(X, Y, Z)
+
+    color = jnp.stack([expand(vol.color[:, c * BLOCK_VOXELS:(c + 1) * BLOCK_VOXELS])
+                       for c in range(3)])
+    return TSDFVolume(expand(vol.tsdf), expand(vol.weight), color,
+                      vol.origin, vol.voxel_size, vol.sdf_trunc)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dense_to_block(dense: TSDFVolume, cfg: TSDFConfig) -> BlockTSDFVolume:
+    """Pack a dense volume into block-major form (created = any weight > 0)."""
+    vol = make_block_volume(cfg, dense.tsdf.dtype)
+    bx, by, bz = vol.grid_blocks
+
+    def collapse(g):  # (X, Y, Z) -> (NB, 512)
+        r = g.reshape(bx, BLOCK, by, BLOCK, bz, BLOCK)
+        return r.transpose(0, 2, 4, 1, 3, 5).reshape(bx * by * bz, BLOCK_VOXELS)
+
+    tsdf = vol.tsdf.at[:-1].set(collapse(dense.tsdf))
+    weight = vol.weight.at[:-1].set(collapse(dense.weight))
+    color = vol.color.at[:-1].set(
+        jnp.concatenate([collapse(dense.color[c]) for c in range(3)], axis=-1))
+    created = vol.created.at[:-1].set(jnp.any(collapse(dense.weight) > 0, axis=1))
+    return BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
+                           vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)

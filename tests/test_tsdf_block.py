@@ -1,0 +1,91 @@
+"""Block-sparse TSDF path vs the dense reference path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from otslam_tpu.config import TSDFConfig
+from otslam_tpu.core.camera import PinholeIntrinsics
+from otslam_tpu.kernels.tsdf import make_volume, integrate_frames, extract_surface_points
+from otslam_tpu.kernels.tsdf_block import (
+    make_block_volume, integrate_frames_sparse, block_to_dense, dense_to_block,
+    BLOCK,
+)
+
+INTR = PinholeIntrinsics(width=64, height=48, fx=56.0, fy=56.0, cx=32.0, cy=24.0)
+CFG = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(64, 64, 64),
+                 origin=(-0.64, -0.64, -0.64))
+
+
+def make_wall_frames(n=3):
+    # depths chosen off the voxel grid so no voxel lands exactly on the
+    # sdf == -trunc knife edge (where fma-fusion differences flip validity)
+    depths, colors, exts = [], [], []
+    for i in range(n):
+        depths.append(np.full((48, 64), 0.4503 + 0.0301 * i, np.float32))
+        colors.append(np.full((48, 64, 3), 100.0 + 10 * i, np.float32))
+        exts.append(np.eye(4, dtype=np.float32))
+    return (jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(colors)),
+            jnp.asarray(np.stack(exts)))
+
+
+class TestBlockRoundtrip:
+    def test_dense_block_dense(self):
+        depths, colors, exts = make_wall_frames()
+        dense = integrate_frames(make_volume(CFG), depths, colors, exts, INTR)
+        block = dense_to_block(dense, CFG)
+        back = block_to_dense(block)
+        np.testing.assert_allclose(np.asarray(back.tsdf), np.asarray(dense.tsdf))
+        np.testing.assert_allclose(np.asarray(back.weight), np.asarray(dense.weight))
+        np.testing.assert_allclose(np.asarray(back.color), np.asarray(dense.color))
+
+
+class TestSparseIntegration:
+    def test_matches_dense_on_created_blocks(self):
+        depths, colors, exts = make_wall_frames()
+        dense = integrate_frames(make_volume(CFG), depths, colors, exts, INTR)
+        sparse = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                         exts, INTR, max_active=512)
+        sd = block_to_dense(sparse)
+        # wherever the sparse volume integrated, values must match dense exactly
+        w_s = np.asarray(sd.weight)
+        w_d = np.asarray(dense.weight)
+        touched = w_s > 0
+        assert touched.sum() > 1000
+        np.testing.assert_allclose(np.asarray(sd.tsdf)[touched],
+                                   np.asarray(dense.tsdf)[touched], atol=1e-5)
+        np.testing.assert_array_equal(w_s[touched], w_d[touched])
+        # every dense voxel in the truncation band must be covered by sparse
+        t_d = np.asarray(dense.tsdf)
+        band = (w_d > 0) & (np.abs(t_d) < 0.999)
+        assert (w_s[band] > 0).all()
+
+    def test_surface_extraction_agrees_with_dense(self):
+        depths, colors, exts = make_wall_frames()
+        dense = integrate_frames(make_volume(CFG), depths, colors, exts, INTR)
+        sparse = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                         exts, INTR, max_active=512)
+        pts_d, _, m_d = extract_surface_points(dense, capacity=100_000)
+        pts_s, _, m_s = extract_surface_points(block_to_dense(sparse),
+                                               capacity=100_000)
+        pd = np.asarray(pts_d)[np.asarray(m_d)]
+        ps = np.asarray(pts_s)[np.asarray(m_s)]
+        # same surface: identical point sets (order-independent)
+        assert len(pd) == len(ps)
+        pd_sorted = pd[np.lexsort(pd.T)]
+        ps_sorted = ps[np.lexsort(ps.T)]
+        np.testing.assert_allclose(pd_sorted, ps_sorted, atol=1e-5)
+
+    def test_created_mask_is_sparse(self):
+        depths, colors, exts = make_wall_frames()
+        sparse = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                         exts, INTR, max_active=512)
+        frac = float(np.asarray(sparse.created[:-1]).mean())
+        assert 0 < frac < 0.5  # far fewer blocks created than the full grid
+
+    def test_dead_row_untouched(self):
+        depths, colors, exts = make_wall_frames()
+        sparse = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                         exts, INTR, max_active=512)
+        # padding row may receive writes but must never corrupt real blocks;
+        # created flag of the dead row stays False
+        assert not bool(np.asarray(sparse.created[-1]))

@@ -1,0 +1,66 @@
+"""Pallas block-integration kernel vs the XLA sparse path (interpret mode on
+CPU; the real-hardware path is exercised by bench.py / __graft_entry__.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from otslam_tpu.config import TSDFConfig
+from otslam_tpu.core import PinholeIntrinsics
+from otslam_tpu.kernels.tsdf_block import make_block_volume, integrate_frames_sparse
+from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
+
+INTR = PinholeIntrinsics(64, 48, 56.0, 56.0, 32.0, 24.0)
+CFG = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(32, 32, 32),
+                 origin=(-0.32, -0.32, 0.2))
+
+
+def scene():
+    th = 0.07
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    E = np.eye(4, dtype=np.float32)
+    E[:3, :3] = R
+    E[:3, 3] = [0.013, -0.021, 0.004]
+    depths = jnp.asarray(np.stack([
+        np.full((48, 64), 0.4503, np.float32),
+        np.full((48, 64), 0.5217, np.float32)]))
+    colors = jnp.asarray(np.stack([
+        np.full((48, 64, 3), 100.0, np.float32),
+        np.full((48, 64, 3), 180.0, np.float32)]))
+    exts = jnp.asarray(np.stack([np.eye(4, dtype=np.float32), E]))
+    return depths, colors, exts
+
+
+class TestPallasKernel:
+    def test_matches_xla_sparse_path(self):
+        depths, colors, exts = scene()
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64)
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64, interpret=True)
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        ts, tp = np.asarray(s.tsdf), np.asarray(p.tsdf)
+        observed = (ws > 0) | (wp > 0)
+        # validity may flip for voxels whose projection lands exactly on a
+        # pixel-rounding boundary (sub-pixel selection jitter); must be rare
+        frac_diff = (ws != wp).sum() / max(observed.sum(), 1)
+        assert frac_diff < 0.015
+        same = (ws == wp) & (ws > 0)
+        # depth selection uses a bf16 hi/lo split: ~2^-16 relative error,
+        # i.e. < 0.1 mm of depth, < 1e-3 in tsdf units
+        np.testing.assert_allclose(tp[same], ts[same], atol=1e-3)
+        # color sampled from the half-res pyramid: exact for smooth fields
+        # (color rows are channel-major flat: (NB+1, 3*512))
+        cs = np.asarray(s.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        cp = np.asarray(p.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        m = (ws > 0) & (wp > 0)
+        assert np.abs(cs[:, m] - cp[:, m]).max() < 1.0
+
+    def test_created_mask_identical(self):
+        depths, colors, exts = scene()
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64)
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s.created), np.asarray(p.created))
