@@ -13,3 +13,31 @@ from otslam_tpu.kernels.tsdf import (  # noqa: F401
     merge_partials,
     extract_surface_points,
 )
+from otslam_tpu.kernels.tsdf_block import (  # noqa: F401
+    BlockTSDFVolume,
+    make_block_volume,
+    integrate_frames_sparse,
+    block_to_dense,
+    dense_to_block,
+)
+from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas  # noqa: F401
+from otslam_tpu.kernels.nn import nn_distance, chamfer_metrics  # noqa: F401
+from otslam_tpu.kernels.icp import (  # noqa: F401
+    icp_point_to_point,
+    icp_point_to_plane,
+    ICPResult,
+)
+from otslam_tpu.kernels.raycast import raycast_grid  # noqa: F401
+from otslam_tpu.kernels.scan_diff import scan_diff  # noqa: F401
+from otslam_tpu.kernels.evidence import (  # noqa: F401
+    scatter_hits,
+    update_evidence,
+    evidence_points,
+)
+from otslam_tpu.kernels.cluster import (  # noqa: F401
+    cluster_scan_points,
+    analyze_clusters,
+    scan_to_points,
+    ClusterStats,
+)
+from otslam_tpu.kernels.sampling import resample_points  # noqa: F401

@@ -1,0 +1,168 @@
+"""Iterative Closest Point registration on TPU.
+
+Mirrors Open3D ``registration_icp`` with ``TransformationEstimationPointToPoint``
+as used by the eval scripts (eval_table_chair.py:90-104: threshold 0.05,
+identity init, max 2000 iterations), plus a point-to-plane variant for pose
+refinement (BASELINE.json north_star).
+
+TPU-native shape: correspondences come from the tiled matmul NN kernel
+(kernels/nn.py); each iteration is one fused device step inside
+``lax.while_loop`` with Open3D's convergence criteria (relative fitness and
+relative RMSE below 1e-6). The 3x3 SVD / 6x6 solve at the end of each
+iteration is tiny and stays on-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from otslam_tpu.kernels.nn import nn_distance
+
+
+class ICPResult(NamedTuple):
+    transformation: jnp.ndarray  # (4, 4) src -> dst
+    fitness: jnp.ndarray         # inlier fraction
+    inlier_rmse: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def _umeyama_rt(src_pts, dst_pts, weights):
+    """Weighted rigid alignment (Kabsch/Umeyama, no scaling): R, t minimizing
+    sum w |R p + t - q|^2."""
+    wsum = jnp.maximum(jnp.sum(weights), 1e-9)
+    cp = jnp.sum(src_pts * weights[:, None], axis=0) / wsum
+    cq = jnp.sum(dst_pts * weights[:, None], axis=0) / wsum
+    sp = src_pts - cp
+    sq = dst_pts - cq
+    H = (sp * weights[:, None]).T @ sq  # (3,3)
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
+    R = Vt.T @ D @ U.T
+    t = cq - R @ cp
+    return R, t
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
+                       threshold: float = 0.05,
+                       init: jnp.ndarray | None = None,
+                       src_mask: jnp.ndarray | None = None,
+                       dst_mask: jnp.ndarray | None = None,
+                       max_iterations: int = 30,
+                       relative_fitness: float = 1e-6,
+                       relative_rmse: float = 1e-6,
+                       chunk: int = 4096) -> ICPResult:
+    """Point-to-point ICP aligning src onto dst."""
+    n = src.shape[0]
+    smask = jnp.ones(n, bool) if src_mask is None else src_mask
+    T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
+
+    def metrics(T):
+        p = src @ T[:3, :3].T + T[:3, 3]
+        d, idx = nn_distance(p, dst, smask, dst_mask, chunk=chunk,
+                             with_index=True)
+        inlier = smask & (d < threshold)
+        nin = jnp.sum(inlier)
+        fitness = nin / jnp.maximum(jnp.sum(smask), 1)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, d * d, 0.0))
+                        / jnp.maximum(nin, 1))
+        return d, idx, inlier, fitness, rmse
+
+    def cond(state):
+        T, fit, rmse, prev_fit, prev_rmse, it = state
+        keep = ((jnp.abs(prev_fit - fit) > relative_fitness)
+                | (jnp.abs(prev_rmse - rmse) > relative_rmse))
+        return (it < max_iterations) & ((it < 2) | keep)
+
+    def body(state):
+        T, fit, rmse, _, _, it = state
+        p = src @ T[:3, :3].T + T[:3, 3]
+        d, idx, inlier, _, _ = metrics(T)
+        q = jnp.take(dst, idx, axis=0)
+        w = inlier.astype(jnp.float32)
+        R, t = _umeyama_rt(p, q, w)
+        dT = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
+        T_new = dT @ T
+        _, _, _, fit_new, rmse_new = metrics(T_new)
+        return (T_new.astype(jnp.float32), fit_new, rmse_new, fit, rmse, it + 1)
+
+    _, _, _, fit0, rmse0 = metrics(T0)
+    state = (T0, fit0, rmse0, jnp.float32(-1.0), jnp.float32(-1.0),
+             jnp.int32(0))
+    T, fit, rmse, _, _, it = jax.lax.while_loop(cond, body, state)
+    return ICPResult(T, fit, rmse, it)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
+                       dst_normals: jnp.ndarray,
+                       threshold: float = 0.05,
+                       init: jnp.ndarray | None = None,
+                       src_mask: jnp.ndarray | None = None,
+                       dst_mask: jnp.ndarray | None = None,
+                       max_iterations: int = 30,
+                       relative_fitness: float = 1e-6,
+                       relative_rmse: float = 1e-6,
+                       chunk: int = 4096) -> ICPResult:
+    """Point-to-plane ICP (linearized small-angle 6x6 solve per iteration)."""
+    n = src.shape[0]
+    smask = jnp.ones(n, bool) if src_mask is None else src_mask
+    T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
+
+    def metrics(T):
+        p = src @ T[:3, :3].T + T[:3, 3]
+        d, idx = nn_distance(p, dst, smask, dst_mask, chunk=chunk,
+                             with_index=True)
+        inlier = smask & (d < threshold)
+        nin = jnp.sum(inlier)
+        fitness = nin / jnp.maximum(jnp.sum(smask), 1)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, d * d, 0.0))
+                        / jnp.maximum(nin, 1))
+        return p, idx, inlier, fitness, rmse
+
+    def solve(p, q, nrm, w):
+        r = jnp.sum((p - q) * nrm, axis=-1)          # signed plane residual
+        c = jnp.cross(p, nrm)                        # rotation jacobian
+        J = jnp.concatenate([c, nrm], axis=-1)       # (N, 6)
+        A = (J * w[:, None]).T @ J + 1e-9 * jnp.eye(6)
+        b = -(J * w[:, None]).T @ r
+        x = jnp.linalg.solve(A, b)                   # (wx, wy, wz, tx, ty, tz)
+        wx, wy, wz, tx, ty, tz = x
+        R = jnp.array([
+            [1.0, -wz, wy],
+            [wz, 1.0, -wx],
+            [-wy, wx, 1.0],
+        ])
+        # re-orthonormalize the small-angle rotation via SVD projection
+        U, _, Vt = jnp.linalg.svd(R)
+        Rn = U @ Vt
+        Rn = Rn * jnp.sign(jnp.linalg.det(Rn))
+        return jnp.eye(4).at[:3, :3].set(Rn).at[:3, 3].set(
+            jnp.array([tx, ty, tz]))
+
+    def cond(state):
+        T, fit, rmse, prev_fit, prev_rmse, it = state
+        keep = ((jnp.abs(prev_fit - fit) > relative_fitness)
+                | (jnp.abs(prev_rmse - rmse) > relative_rmse))
+        return (it < max_iterations) & ((it < 2) | keep)
+
+    def body(state):
+        T, fit, rmse, _, _, it = state
+        p, idx, inlier, _, _ = metrics(T)
+        q = jnp.take(dst, idx, axis=0)
+        nrm = jnp.take(dst_normals, idx, axis=0)
+        dT = solve(p, q, nrm, inlier.astype(jnp.float32))
+        T_new = (dT @ T).astype(jnp.float32)
+        _, _, _, fit_new, rmse_new = metrics(T_new)
+        return (T_new, fit_new, rmse_new, fit, rmse, it + 1)
+
+    _, _, _, fit0, rmse0 = metrics(T0)
+    state = (T0, fit0, rmse0, jnp.float32(-1.0), jnp.float32(-1.0),
+             jnp.int32(0))
+    T, fit, rmse, _, _, it = jax.lax.while_loop(cond, body, state)
+    return ICPResult(T, fit, rmse, it)

@@ -1,0 +1,60 @@
+"""Occupancy-grid ray casting (the virtual scan).
+
+Behavioral contract from virtual_scan_node.cpp:258-287: for each beam, step
+along the ray in ``resolution``-sized increments (distance incremented
+*before* the cell test), return the accumulated distance at the first cell
+whose value is 100 (occupied), +inf if the ray leaves the map or exceeds
+``range_max``.
+
+TPU-native shape: all beams x all steps evaluated at once as one fused
+elementwise pass + one flat gather into the grid, then a first-hit reduction
+over the step axis. The C++ hot loop (1440 beams x up-to-1000 steps at 5 Hz)
+becomes a single device dispatch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("resolution", "range_max", "num_steps"))
+def raycast_grid(grid_data: jnp.ndarray, resolution: float,
+                 origin_x: float, origin_y: float,
+                 robot_x: jnp.ndarray, robot_y: jnp.ndarray,
+                 robot_yaw: jnp.ndarray, angles: jnp.ndarray,
+                 range_max: float, num_steps: int | None = None) -> jnp.ndarray:
+    """Cast one ray per angle through an occupancy grid.
+
+    grid_data: (H, W) int8, row-major with row 0 at origin (ROS convention);
+    angles: (N,) beam angles relative to the robot. Returns ranges (N,) f32
+    with +inf for no-hit.
+    """
+    H, W = grid_data.shape
+    if num_steps is None:
+        # the C++ loop uses distances (k+1)*res for every k with k*res < max
+        num_steps = -int(-range_max // resolution)
+    ga = robot_yaw + angles                              # (N,)
+    dists = (jnp.arange(num_steps, dtype=jnp.float32) + 1.0) * resolution  # (S,)
+    cos_a = jnp.cos(ga)[:, None]
+    sin_a = jnp.sin(ga)[:, None]
+    rx = robot_x + dists[None, :] * cos_a                # (N, S)
+    ry = robot_y + dists[None, :] * sin_a
+
+    gx = jnp.floor((rx - origin_x) / resolution).astype(jnp.int32)
+    gy = jnp.floor((ry - origin_y) / resolution).astype(jnp.int32)
+    oob = (gx < 0) | (gx >= W) | (gy < 0) | (gy >= H)
+    flat = jnp.clip(gy, 0, H - 1) * W + jnp.clip(gx, 0, W - 1)
+    occ = jnp.take(grid_data.reshape(-1), flat) == 100
+    occ = occ & ~oob
+
+    stop = occ | oob
+    # first stop along the ray; if it's a hit (not oob), range = dist there
+    first = jnp.argmax(stop, axis=1)
+    any_stop = jnp.any(stop, axis=1)
+    hit_at_first = jnp.take_along_axis(occ, first[:, None], axis=1)[:, 0]
+    rng = jnp.take_along_axis(jnp.broadcast_to(dists, occ.shape),
+                              first[:, None], axis=1)[:, 0]
+    return jnp.where(any_stop & hit_at_first, rng, jnp.inf)
