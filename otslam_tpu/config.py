@@ -99,7 +99,11 @@ class ChangeDetectConfig:
 
 @dataclass(frozen=True)
 class TrackerConfig:
-    """Object tracker & visiting points (reference: 3_multi_object_goal_selector.cpp:40-55)."""
+    """Object tracker & visiting points (reference: 3_multi_object_goal_selector.cpp:40-55).
+
+    Defaults are the node's declared defaults; ``update_pipeline_profile``
+    is the tuned configuration from the canonical launch file.
+    """
 
     cluster_distance_threshold: float = 0.4
     min_cluster_points: int = 10
@@ -112,6 +116,20 @@ class TrackerConfig:
     scan_point_interval_removed: float = 5.0
     min_scan_points: int = 4
     unseen_prune_time: float = 0.5   # candidates pruned if unseen this long
+
+    @classmethod
+    def update_pipeline_profile(cls) -> "TrackerConfig":
+        """Tuned values wired by 3_virtual_lidar_navigation.launch.py:46-60
+        (grid-cell inputs from the change detector, not raw scan points)."""
+        return cls(
+            cluster_distance_threshold=4.0,
+            min_cluster_points=1,
+            wall_thickness_threshold=0.3,
+            stability_time=1.0,
+            lock_margin=1.5,
+            smoothing_factor=1.0,
+            visiting_point_buffer=0.1,
+        )
 
 
 @dataclass(frozen=True)

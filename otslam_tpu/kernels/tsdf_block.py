@@ -121,8 +121,9 @@ def _depth_mips(depth: jnp.ndarray, tile: int = 16):
     dilation makes border-straddling footprints conservative.
     """
     H, W = depth.shape
-    th, tw = H // tile, W // tile
-    d = depth.reshape(th, tile, tw, tile)
+    th, tw = -(-H // tile), -(-W // tile)
+    dpad = jnp.pad(depth, ((0, th * tile - H), (0, tw * tile - W)))
+    d = dpad.reshape(th, tile, tw, tile)
     valid = d > 0
     dmin0 = jnp.min(jnp.where(valid, d, jnp.inf), axis=(1, 3))
     dmax0 = jnp.max(jnp.where(valid, d, 0.0), axis=(1, 3))
@@ -257,6 +258,9 @@ def compact_ids(active: jnp.ndarray, max_active: int, nb: int) -> jnp.ndarray:
     (the dead row). Stable argsort of the negated mask is markedly faster on
     TPU than ``jnp.nonzero(size=...)`` and keeps ids in ascending order."""
     order = jnp.argsort(~active, stable=True)[:max_active]
+    if order.shape[0] < max_active:  # capacity exceeds the block count
+        order = jnp.pad(order, (0, max_active - order.shape[0]),
+                        constant_values=nb)
     count = jnp.sum(active.astype(jnp.int32))
     return jnp.where(jnp.arange(max_active) < count, order, nb).astype(jnp.int32)
 

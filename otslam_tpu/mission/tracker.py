@@ -1,0 +1,131 @@
+"""Object tracker: candidate/stable cluster tracking with lock radii.
+
+Equivalent of the ObjectClusterMarker node
+(3_multi_object_goal_selector.cpp:22-249): incoming change-detection points
+are gap-clustered, filtered by bbox thickness, associated to tracked clusters
+by lock radius, EMA-smoothed, promoted to *stable* after ``stability_time``
+seconds, and pruned if unseen. A freeze flag (the ``set_tracking_mode``
+service) turns updates off while the camera is scanning.
+
+Host-side by design (SURVEY.md §7: the control plane operates on a handful of
+clusters — no need to jit); the per-point clustering math runs through the
+same JAX kernel as the perception stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from otslam_tpu.config import TrackerConfig
+from otslam_tpu.kernels.cluster import cluster_scan_points
+
+
+@dataclass
+class TrackedCluster:
+    cx: float
+    cy: float
+    width: float
+    height: float
+    lock_radius: float
+    first_seen: float
+    last_seen: float
+    stable: bool = False
+
+
+def _lock_radius(w: float, h: float, margin: float) -> float:
+    return float(np.hypot(w, h) / 2.0 + margin)
+
+
+class ObjectTracker:
+    """One tracking pipeline (the node instantiates two: added + removed)."""
+
+    def __init__(self, cfg: TrackerConfig | None = None):
+        self.cfg = cfg or TrackerConfig()
+        self.candidates: List[TrackedCluster] = []
+        self.stable_objects: List[TrackedCluster] = []
+        self.tracking_enabled: bool = True
+
+    # --- service: set_tracking_mode (freeze/unfreeze) ----------------------
+
+    def set_tracking_mode(self, enabled: bool) -> None:
+        self.tracking_enabled = enabled
+
+    # --- observation path ---------------------------------------------------
+
+    def _cluster_observations(self, points_map: np.ndarray, now: float
+                              ) -> List[TrackedCluster]:
+        """Gap-cluster map-frame points into raw observations
+        (3_multi_object_goal_selector.cpp:178-215)."""
+        cfg = self.cfg
+        if len(points_map) == 0:
+            return []
+        pts = np.asarray(points_map, np.float32).reshape(-1, 2)
+        labels, num = cluster_scan_points(
+            jnp.asarray(pts), jnp.ones(len(pts), bool),
+            cfg.cluster_distance_threshold, merge_wraparound=False)
+        labels = np.asarray(labels)
+        obs = []
+        for k in range(int(num)):
+            member = pts[labels == k]
+            if len(member) < cfg.min_cluster_points:
+                continue
+            mn = member.min(axis=0)
+            mx = member.max(axis=0)
+            w, h = float(mx[0] - mn[0]), float(mx[1] - mn[1])
+            if min(w, h) < cfg.wall_thickness_threshold:
+                continue
+            cx, cy = float((mn[0] + mx[0]) / 2), float((mn[1] + mx[1]) / 2)
+            obs.append(TrackedCluster(
+                cx, cy, w, h, _lock_radius(w, h, cfg.lock_margin), now, now))
+        return obs
+
+    def update(self, points_map: Sequence, now: float) -> None:
+        """Process one cloud of (already map-frame) change points.
+
+        When frozen, observations are ignored (the node only republishes its
+        markers: 3_multi_object_goal_selector.cpp:157-160).
+        """
+        if not self.tracking_enabled:
+            return
+        cfg = self.cfg
+        for raw in self._cluster_observations(np.asarray(points_map), now):
+            matched = False
+            for stable in self.stable_objects:
+                if np.hypot(raw.cx - stable.cx, raw.cy - stable.cy) < stable.lock_radius:
+                    stable.last_seen = now  # absorb, keep frozen geometry
+                    matched = True
+                    break
+            if matched:
+                continue
+            for cand in self.candidates:
+                if np.hypot(raw.cx - cand.cx, raw.cy - cand.cy) < cand.lock_radius:
+                    a = cfg.smoothing_factor
+                    cand.last_seen = now
+                    cand.cx = cand.cx * (1 - a) + raw.cx * a
+                    cand.cy = cand.cy * (1 - a) + raw.cy * a
+                    cand.width = cand.width * (1 - a) + raw.width * a
+                    cand.height = cand.height * (1 - a) + raw.height * a
+                    cand.lock_radius = _lock_radius(cand.width, cand.height,
+                                                    cfg.lock_margin)
+                    matched = True
+                    break
+            if not matched:
+                self.candidates.append(raw)
+
+        # promotion / pruning (3_multi_object_goal_selector.cpp:233-246)
+        remaining = []
+        for cand in self.candidates:
+            age = now - cand.first_seen
+            unseen = now - cand.last_seen
+            if age > cfg.stability_time:
+                cand.stable = True
+                self.stable_objects.append(cand)
+            elif unseen > cfg.unseen_prune_time:
+                pass  # dropped
+            else:
+                remaining.append(cand)
+        self.candidates = remaining

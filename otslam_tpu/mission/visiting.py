@@ -1,0 +1,60 @@
+"""Visiting-point generation: a circle of scan poses around each object.
+
+Equivalent of the marker emission at 3_multi_object_goal_selector.cpp:275-308
+(uniform-distance scanning): radius = lock_radius + buffer, point count =
+max(min_scan_points, round(circumference / interval)), each pose at angle
+2*pi*i/n facing the center (yaw = angle + pi). Marker ids are
+object_index * 100 + i for added objects; removed objects use a 5 m interval
+(3_multi_object_goal_selector.cpp:441-447) and ids offset by 5000 (the
+GoalSender decodes removed ids as id - 5000: 3_multi_send_goal_node.cpp:113-114).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+from otslam_tpu.config import TrackerConfig
+from otslam_tpu.mission.tracker import TrackedCluster
+
+REMOVED_ID_BASE = 5000
+
+
+@dataclass(frozen=True)
+class VisitingPoint:
+    unique_id: int
+    object_id: int
+    x: float
+    y: float
+    yaw: float          # facing the object center
+    is_removed: bool = False
+
+
+def visiting_points(stable_objects: Sequence[TrackedCluster],
+                    cfg: TrackerConfig | None = None,
+                    removed: bool = False) -> List[VisitingPoint]:
+    cfg = cfg or TrackerConfig()
+    interval = (cfg.scan_point_interval_removed if removed
+                else cfg.scan_point_interval)
+    out: List[VisitingPoint] = []
+    for obj_idx, c in enumerate(stable_objects):
+        vp_radius = c.lock_radius + cfg.visiting_point_buffer
+        circumference = 2.0 * np.pi * vp_radius
+        n = max(cfg.min_scan_points, int(round(circumference / interval)))
+        step = 2.0 * np.pi / n
+        for i in range(n):
+            ang = step * i
+            uid = obj_idx * 100 + i
+            if removed:
+                uid += REMOVED_ID_BASE
+            out.append(VisitingPoint(
+                unique_id=uid,
+                object_id=obj_idx,
+                x=float(c.cx + vp_radius * np.cos(ang)),
+                y=float(c.cy + vp_radius * np.sin(ang)),
+                yaw=float(ang + np.pi),
+                is_removed=removed,
+            ))
+    return out

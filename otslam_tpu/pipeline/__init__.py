@@ -1,0 +1,10 @@
+from otslam_tpu.pipeline.dataset import (  # noqa: F401
+    CaptureDataset,
+    FrameBatch,
+    get_unique_object_names,
+)
+from otslam_tpu.pipeline.reconstruct import (  # noqa: F401
+    reconstruct_object,
+    reconstruct_all,
+    reconstruct_range,
+)

@@ -1,0 +1,176 @@
+"""Closed-loop mission runner: the headless Gazebo replacement.
+
+Wires the full OTSLAM update pipeline (SURVEY.md §3.1) against the analytic
+simulator under deterministic sim time:
+
+    render_lidar (world)  ->  VirtualScanner (saved map)  ->  ChangeDetector
+        ->  ObjectTracker (freeze-aware)  ->  visiting_points
+        ->  GoalSender (sticky/greedy)    ->  SystemManager FSM
+        ->  ScannerNode captures (analytic RGB-D)  ->  CaptureDataset on disk
+
+A "changed world" is expressed as two scenes: ``scene_map`` (what the saved
+2D map knows) and ``scene_world`` (reality, with objects added/removed).
+Navigation is a kinematic teleport at constant speed; every subsystem sees
+the same sim clock.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from otslam_tpu.config import OTSLAMConfig
+from otslam_tpu.core.camera import PinholeIntrinsics
+from otslam_tpu.core.se3 import T_FIX_GT, T_FIX_OPTICAL, se3, yaw_to_matrix2d
+from otslam_tpu.mapping.change_detect import ChangeDetector
+from otslam_tpu.mapping.virtual_scan import VirtualScanner
+from otslam_tpu.mission.goal_queue import GoalSender
+from otslam_tpu.mission.manager import SystemManager
+from otslam_tpu.mission.scanner import ScannerNode, ScanObjectGoal
+from otslam_tpu.mission.tracker import ObjectTracker
+from otslam_tpu.mission.visiting import visiting_points
+from otslam_tpu.pipeline.dataset import CaptureDataset
+from otslam_tpu.sim.sensors import render_lidar, render_rgbd
+from otslam_tpu.sim.world import Scene
+
+
+@dataclass
+class MissionSummary:
+    missions_completed: int = 0
+    frames_captured: int = 0
+    stable_objects: int = 0
+    sim_time: float = 0.0
+    labels: List[str] = field(default_factory=list)
+
+
+class MissionRunner:
+    def __init__(self, scene_map: Scene, scene_world: Scene, workdir: str,
+                 cfg: OTSLAMConfig | None = None,
+                 start_pose=(-2.0, -2.0, 0.0),
+                 camera_height: float = 0.3, robot_speed: float = 0.5,
+                 map_resolution: float = 0.05):
+        self.cfg = cfg or OTSLAMConfig()
+        self.scene_world = scene_world
+        self.workdir = workdir
+        self.intr = PinholeIntrinsics.from_config(self.cfg.camera)
+        self.camera_height = camera_height
+        self.robot_speed = robot_speed
+
+        self.x, self.y, self.yaw = map(float, start_pose)
+        self.t = 0.0
+
+        self.vscanner = VirtualScanner(self.cfg.lidar)
+        self.vscanner.set_map(scene_map.occupancy_grid(map_resolution))
+        self.detector = ChangeDetector(self.cfg.change_detect, self.cfg.lidar)
+        self.tracker = ObjectTracker(self.cfg.tracker)
+        self.removed_tracker = ObjectTracker(self.cfg.tracker)
+        self.sender = GoalSender(self.cfg.mission)
+        self.dataset = CaptureDataset(os.path.join(workdir, "dataset"),
+                                      self.cfg.camera)
+        self.scanner = ScannerNode(
+            self.dataset, self._grab_frames, self._camera_pose,
+            sleep=self._sleep, cfg=self.cfg.mission)
+        self.manager = SystemManager(
+            self._navigate, self._scan_action, self._set_tracking,
+            self.cfg.mission)
+        self.summary = MissionSummary()
+
+    # --- injected robot/sensor plumbing ------------------------------------
+
+    def _sleep(self, seconds: float) -> None:
+        self.t += seconds
+
+    def _set_tracking(self, enabled: bool) -> None:
+        self.tracker.set_tracking_mode(enabled)
+        self.removed_tracker.set_tracking_mode(enabled)
+
+    def _navigate(self, gx: float, gy: float, gyaw: float) -> bool:
+        d = float(np.hypot(gx - self.x, gy - self.y))
+        self.t += d / self.robot_speed + 1.0
+        self.x, self.y, self.yaw = float(gx), float(gy), float(gyaw)
+        return True
+
+    def _body_pose(self) -> np.ndarray:
+        R2 = yaw_to_matrix2d(self.yaw)
+        R = np.eye(3)
+        R[:2, :2] = R2
+        return se3(R, [self.x, self.y, self.camera_height])
+
+    def _optical_pose(self) -> np.ndarray:
+        """Optical camera->world pose: forward-mounted camera (optical z =
+        body +x), via the body-frame axis map T_FIX_GT
+        (reconstruct_rgbd_gt.py:52-57)."""
+        return self._body_pose() @ T_FIX_GT
+
+    def _camera_pose(self) -> np.ndarray:
+        """Pose written to disk: chosen so the standard reconstruction
+        pipeline (right-multiply T_FIX_OPTICAL, then invert —
+        reconstruct_rgbd.py:93-96) recovers the true optical pose exactly."""
+        return self._optical_pose() @ T_FIX_OPTICAL.T
+
+    def _grab_frames(self):
+        depth, color = render_rgbd(self.scene_world, self._optical_pose(),
+                                   self.intr, far=self.cfg.camera.depth_max)
+        return np.asarray(color).astype(np.uint8), np.asarray(depth)
+
+    def _scan_action(self, label, x, y, radius) -> bool:
+        res = self.scanner.execute(ScanObjectGoal(label, x, y, radius))
+        if res.success:
+            self.summary.frames_captured += 1
+            if label not in self.summary.labels:
+                self.summary.labels.append(label)
+        return res.success
+
+    # --- perception tick ----------------------------------------------------
+
+    def perception_tick(self) -> None:
+        dt = 1.0 / self.cfg.lidar.rate_hz
+        self.t += dt
+        angles = self.vscanner.angles()
+        real = render_lidar(self.scene_world, self.x, self.y, self.yaw,
+                            angles, self.cfg.lidar.range_min,
+                            self.cfg.lidar.range_max)
+        virt = self.vscanner.scan(self.x, self.y, self.yaw)
+        self.detector.on_virtual_scan(virt)
+        self.detector.on_scan(real, angles, (self.x, self.y, self.yaw), self.t)
+        self.tracker.update(self.detector.added_objects(), self.t)
+        self.removed_tracker.update(self.detector.removed_objects(), self.t)
+
+        self.sender.on_odom(self.x, self.y)
+        self.sender.on_added_points(
+            visiting_points(self.tracker.stable_objects, self.cfg.tracker))
+        self.sender.on_removed_points(
+            visiting_points(self.removed_tracker.stable_objects,
+                            self.cfg.tracker, removed=True))
+
+    # --- main loop ----------------------------------------------------------
+
+    def run(self, max_ticks: int = 200, settle_ticks: int = 25,
+            min_ticks: int = 75) -> MissionSummary:
+        """Run perception + mission until targets are exhausted.
+
+        min_ticks gives detection + tracker stabilization time (dwell
+        time_threshold + stability_time) before an idle loop may terminate.
+        """
+        for _ in range(settle_ticks):
+            self.perception_tick()
+        idle_ticks = 0
+        for tick in range(max_ticks):
+            self.perception_tick()
+            goal = self.sender.control_step()
+            if goal is not None:
+                if self.manager.on_goal(goal):
+                    self.summary.missions_completed += 1
+                idle_ticks = 0
+            else:
+                idle_ticks += 1
+                if (idle_ticks > 10 and self.sender.pending_count() == 0
+                        and tick >= min_ticks):
+                    break
+        self.summary.stable_objects = len(self.tracker.stable_objects)
+        self.summary.sim_time = self.t
+        return self.summary

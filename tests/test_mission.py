@@ -1,0 +1,226 @@
+"""Mission layer: tracker, visiting points, goal queue, manager FSM, scanner."""
+
+import numpy as np
+
+from otslam_tpu.config import MissionConfig, TrackerConfig, CameraConfig
+from otslam_tpu.mission.tracker import ObjectTracker, TrackedCluster
+from otslam_tpu.mission.visiting import visiting_points, REMOVED_ID_BASE
+from otslam_tpu.mission.goal_queue import GoalSender, TargetPoint, decode_marker_id
+from otslam_tpu.mission.manager import SystemManager, ManagerState
+from otslam_tpu.mission.scanner import ScannerNode, ScanObjectGoal
+from otslam_tpu.pipeline.dataset import CaptureDataset
+
+
+def blob(cx, cy, n=16, r=0.25, seed=0):
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    rad = rng.uniform(0.6 * r, r, n)
+    return np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], -1)
+
+
+class TestTracker:
+    def test_candidate_promotion_after_stability_time(self):
+        tr = ObjectTracker(TrackerConfig())
+        pts = blob(2.0, 1.0)
+        t = 0.0
+        for _ in range(18):  # 3.4 s at 5 Hz
+            t += 0.2
+            tr.update(pts, t)
+        assert len(tr.stable_objects) == 1
+        s = tr.stable_objects[0]
+        assert np.hypot(s.cx - 2.0, s.cy - 1.0) < 0.2
+        assert s.stable
+
+    def test_candidate_pruned_when_unseen(self):
+        tr = ObjectTracker(TrackerConfig())
+        tr.update(blob(2.0, 1.0), 0.2)
+        assert len(tr.candidates) == 1
+        tr.update([], 1.0)  # 0.8 s unseen > 0.5 s threshold
+        assert len(tr.candidates) == 0
+
+    def test_freeze_ignores_updates(self):
+        tr = ObjectTracker(TrackerConfig())
+        tr.set_tracking_mode(False)
+        for i in range(20):
+            tr.update(blob(2.0, 1.0), 0.2 * (i + 1))
+        assert len(tr.candidates) == 0 and len(tr.stable_objects) == 0
+
+    def test_thin_clusters_rejected_as_walls(self):
+        tr = ObjectTracker(TrackerConfig())
+        line = np.stack([np.linspace(0, 1.0, 20), np.zeros(20)], -1)
+        for i in range(20):
+            tr.update(line, 0.2 * (i + 1))
+        assert len(tr.stable_objects) == 0
+
+    def test_stable_absorbs_nearby_observations(self):
+        tr = ObjectTracker(TrackerConfig())
+        t = 0.0
+        for _ in range(18):
+            t += 0.2
+            tr.update(blob(2.0, 1.0), t)
+        n_stable = len(tr.stable_objects)
+        # slightly shifted observations fall inside the lock radius
+        for _ in range(18):
+            t += 0.2
+            tr.update(blob(2.2, 1.1, seed=3), t)
+        assert len(tr.stable_objects) == n_stable  # absorbed, no new object
+
+
+class TestVisitingPoints:
+    def test_uniform_spacing_count_and_orientation(self):
+        cfg = TrackerConfig()
+        c = TrackedCluster(0.0, 0.0, 0.5, 0.5, 1.0, 0, 0, True)
+        vps = visiting_points([c], cfg)
+        # radius 1.2, circumference 7.54 -> 8 points at 1.0 m interval
+        assert len(vps) == 8
+        for i, p in enumerate(vps):
+            ang = 2 * np.pi * i / 8
+            np.testing.assert_allclose([p.x, p.y],
+                                       [1.2 * np.cos(ang), 1.2 * np.sin(ang)],
+                                       atol=1e-6)
+            assert np.isclose(p.yaw, ang + np.pi)
+            assert p.unique_id == i and p.object_id == 0
+
+    def test_min_scan_points_floor(self):
+        cfg = TrackerConfig()
+        c = TrackedCluster(0.0, 0.0, 0.1, 0.1, 0.1, 0, 0, True)
+        assert len(visiting_points([c], cfg)) == cfg.min_scan_points
+
+    def test_removed_interval_and_ids(self):
+        cfg = TrackerConfig()
+        c = TrackedCluster(0.0, 0.0, 0.5, 0.5, 1.0, 0, 0, True)
+        vps = visiting_points([c], cfg, removed=True)
+        assert len(vps) == cfg.min_scan_points  # 5 m interval -> floor of 4
+        assert all(p.unique_id >= REMOVED_ID_BASE and p.is_removed
+                   for p in vps)
+
+    def test_marker_id_decode(self):
+        assert decode_marker_id(237, False) == 2
+        assert decode_marker_id(REMOVED_ID_BASE + 3, True) == 3
+
+
+class TestGoalSender:
+    def mk_points(self):
+        c0 = TrackedCluster(0.0, 0.0, 0.5, 0.5, 1.0, 0, 0, True)
+        c1 = TrackedCluster(5.0, 0.0, 0.5, 0.5, 1.0, 0, 0, True)
+        return visiting_points([c0, c1], TrackerConfig())
+
+    def test_greedy_picks_nearest_then_sticky_same_object(self):
+        gs = GoalSender(MissionConfig())
+        gs.on_added_points(self.mk_points())
+        gs.on_odom(1.5, 0.1)
+        g1 = gs.control_step()
+        assert g1 is not None and g1.object_id == 0  # nearest is object 0
+        # teleport to the goal -> visited; next goal stays on object 0
+        gs.on_odom(g1.x, g1.y)
+        g2 = gs.control_step()   # marks visited, picks next
+        assert g2 is not None and g2.object_id == 0
+        assert g2.unique_id != g1.unique_id
+
+    def test_completes_object_before_moving_on(self):
+        gs = GoalSender(MissionConfig())
+        pts = self.mk_points()
+        gs.on_added_points(pts)
+        gs.on_odom(0.0, 0.0)
+        seen_objects = []
+        for _ in range(40):
+            g = gs.control_step()
+            if g is None:
+                break
+            seen_objects.append(g.object_id)
+            gs.on_odom(g.x, g.y)  # teleport
+            gs.on_added_points(pts)
+        # all of object 0's points come before any of object 1's
+        first_obj1 = seen_objects.index(1)
+        assert all(o == 0 for o in seen_objects[:first_obj1])
+        assert all(o == 1 for o in seen_objects[first_obj1:])
+        assert gs.pending_count() == 0
+
+    def test_republish_while_distant(self):
+        gs = GoalSender(MissionConfig())
+        gs.on_added_points(self.mk_points())
+        gs.on_odom(0.0, 3.0)
+        g1 = gs.control_step()
+        g2 = gs.control_step()
+        assert g2 is not None and g2.unique_id == g1.unique_id
+
+
+class FakeNav:
+    def __init__(self, fail_first=False):
+        self.calls = []
+        self.fail_first = fail_first
+
+    def __call__(self, x, y, yaw):
+        self.calls.append((x, y, yaw))
+        if self.fail_first and len(self.calls) == 1:
+            return False
+        return True
+
+
+class TestManager:
+    def mk(self, fail_first=False):
+        nav = FakeNav(fail_first)
+        scans = []
+        tracking = []
+        mgr = SystemManager(nav, lambda *a: scans.append(a) or True,
+                            tracking.append, MissionConfig())
+        return mgr, nav, scans, tracking
+
+    def test_full_mission_freeze_protocol(self):
+        mgr, nav, scans, tracking = self.mk()
+        assert tracking == [True]  # initial unfreeze
+        t = TargetPoint(0, 0, 1.0, 2.0, 0.5, False)
+        assert mgr.on_goal(t)
+        # new id -> unfreeze; arrival -> freeze; scan fired with label
+        assert tracking == [True, True, False]
+        assert scans == [("Object_0", 1.0, 2.0, 1.0)]
+        assert mgr.state == ManagerState.IDLE
+
+    def test_same_object_stays_frozen(self):
+        mgr, nav, scans, tracking = self.mk()
+        mgr.on_goal(TargetPoint(0, 0, 1.0, 2.0, 0.0, False))
+        n = len(tracking)
+        mgr.on_goal(TargetPoint(1, 0, 3.0, 2.0, 0.0, False))
+        # second goal, same object id: no unfreeze before nav (only the
+        # arrival freeze is appended)
+        assert tracking[n:] == [False]
+
+    def test_goal_dedupe(self):
+        mgr, nav, scans, tracking = self.mk()
+        mgr.on_goal(TargetPoint(0, 0, 1.0, 2.0, 0.0, False))
+        assert not mgr.on_goal(TargetPoint(1, 0, 1.02, 2.02, 0.0, False))
+        assert len(scans) == 1
+
+    def test_nav_failure_retries_same_point(self):
+        mgr, nav, scans, tracking = self.mk(fail_first=True)
+        t = TargetPoint(0, 0, 1.0, 2.0, 0.0, False)
+        assert not mgr.on_goal(t)
+        assert mgr.state == ManagerState.IDLE and not scans
+        # retry same point succeeds (dedupe bypassed via first_goal_received)
+        assert mgr.on_goal(t)
+        assert len(scans) == 1
+
+
+class TestScanner:
+    def test_capture_roundtrip(self, tmp_path):
+        ds = CaptureDataset(str(tmp_path), CameraConfig(width=8, height=6))
+        color = np.full((6, 8, 3), 128, np.uint8)
+        depth = np.full((6, 8), 1.5, np.float32)
+        pose = np.eye(4)
+        slept = []
+        sc = ScannerNode(ds, lambda: (color, depth), lambda: pose,
+                         sleep=slept.append)
+        res = sc.execute(ScanObjectGoal("Object_0", 1.0, 2.0))
+        assert res.success and res.frame_number == 1
+        assert slept == [5.0, 5.0]  # stabilization + cool-down
+        res2 = sc.execute(ScanObjectGoal("Object_0", 1.0, 2.0))
+        assert res2.frame_number == 2
+        batch = ds.load_object("Object_0")
+        assert batch.depths.shape == (2, 6, 8)
+        np.testing.assert_allclose(batch.depths[0], 1.5, atol=1e-3)
+
+    def test_camera_timeout(self, tmp_path):
+        ds = CaptureDataset(str(tmp_path))
+        sc = ScannerNode(ds, lambda: None, lambda: np.eye(4))
+        res = sc.execute(ScanObjectGoal("Object_0", 0, 0))
+        assert not res.success and "Timeout" in res.message
