@@ -1,0 +1,94 @@
+"""Headline benchmark: VGA RGB-D frames TSDF-fused per second per chip.
+
+Generates a synthetic object-scan sequence (cube viewed from a capture
+circle, rendered analytically), fuses it with the block-sparse Pallas path at
+the reference configuration (1 cm voxels, 4 cm truncation, 256^3 grid,
+640x480 frames), and prints one JSON line. Baseline = the BASELINE.json
+north-star target of 500 frames/s/chip (the reference publishes no
+throughput numbers; its Open3D CPU path measures ~10 f/s class).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _make_frames(intr, n):
+    rays = np.asarray(intr.pixel_rays())
+    lo = np.array([-0.2, -0.2, 0.0])
+    hi = np.array([0.2, 0.2, 0.4])
+    depths, colors, exts = [], [], []
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        eye = np.array([1.2 * np.cos(ang), 1.2 * np.sin(ang), 0.2])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 0.0, -1.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd], axis=1)
+        dirs = rays @ R.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (lo - eye) / dirs
+            t2 = (hi - eye) / dirs
+        tmin = np.minimum(t1, t2).max(-1)
+        tmax = np.maximum(t1, t2).min(-1)
+        hit = (tmax > tmin) & (tmin > 0.1)
+        depths.append(np.where(hit, tmin, 0.0).astype(np.float32))
+        colors.append(np.full((intr.height, intr.width, 3), 128.0, np.float32))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = eye
+        exts.append(np.linalg.inv(T).astype(np.float32))
+    return (np.stack(depths), np.stack(colors), np.stack(exts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from otslam_tpu.config import TSDFConfig
+    from otslam_tpu.core.camera import PinholeIntrinsics
+    from otslam_tpu.kernels.tsdf_block import make_block_volume
+    from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    intr = PinholeIntrinsics(width=640, height=480, fx=565.6009, fy=565.6009,
+                             cx=320.5, cy=240.5)
+    cfg = TSDFConfig()  # 256^3 @ 1 cm, trunc 4 cm (reference parameters)
+    n = 64 if on_tpu else 4
+    max_active = 1024
+
+    d, c, e = _make_frames(intr, n)
+    depths = jnp.asarray(d)
+    colors = jnp.asarray(c)
+    exts = jnp.asarray(e)
+
+    def run():
+        vol = integrate_frames_pallas(
+            make_block_volume(cfg), depths, colors, exts, intr,
+            max_active=max_active, interpret=not on_tpu)
+        return vol.tsdf
+
+    # warmup/compile
+    r = run()
+    _ = np.asarray(r[:2, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        r = run()
+        _ = np.asarray(r[:2, 0])
+        best = min(best, time.time() - t0)
+
+    fps = n / best
+    print(json.dumps({
+        "metric": "vga_frames_fused_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

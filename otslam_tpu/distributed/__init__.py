@@ -1,0 +1,6 @@
+from otslam_tpu.distributed.mesh import make_mesh  # noqa: F401
+from otslam_tpu.distributed.sharding import (  # noqa: F401
+    fuse_frames_data_parallel,
+    fuse_frames_2d_sharded,
+    chamfer_data_parallel,
+)

@@ -56,7 +56,10 @@ def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
         return (jnp.where(take, cmin, best_d),
                 jnp.where(take, carg, best_i)), None
 
-    init = (jnp.full(n, _BIG), jnp.zeros(n, jnp.int32))
+    # carry inherits the inputs' device-varying type (shard_map-compatible)
+    zvar = (jnp.zeros((), jnp.float32) * src.reshape(-1)[0]
+            * dst.reshape(-1)[0])
+    init = (jnp.full(n, _BIG) + zvar, jnp.zeros(n, jnp.int32) + zvar.astype(jnp.int32))
     bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     (best_d, best_i), _ = jax.lax.scan(body, init, (dst_c, msk_c, bases))
 

@@ -173,8 +173,11 @@ def partial_integrate(depths: jnp.ndarray, colors: jnp.ndarray,
         tsdf_obs, w_obs, col_obs = _observe_frame(vol, depth, color, extrinsic, intr)
         return (sum_tw + tsdf_obs * w_obs, sum_w + w_obs, sum_cw + col_obs), None
 
-    init = (jnp.zeros_like(vol.tsdf), jnp.zeros_like(vol.weight),
-            jnp.zeros_like(vol.color))
+    # the carry must inherit the inputs' device-varying type so this scan
+    # works unchanged inside shard_map (zero * input = zeros, but varying)
+    zvar = jnp.zeros((), depths.dtype) * depths.reshape(-1)[0]
+    init = (jnp.zeros_like(vol.tsdf) + zvar, jnp.zeros_like(vol.weight) + zvar,
+            jnp.zeros_like(vol.color) + zvar)
     (sum_tw, sum_w, sum_cw), _ = jax.lax.scan(step, init, (depths, colors, extrinsics))
     return sum_tw, sum_w, sum_cw
 
