@@ -1,0 +1,209 @@
+"""Triangle-mesh extraction from TSDF volumes (marching tetrahedra).
+
+Open3D's ``extract_triangle_mesh`` (used at reconstruct_rgbd.py:112) runs
+marching cubes in C++. The TPU-native rebuild uses **marching tetrahedra**:
+each surface cell splits into 6 tetrahedra whose 16 sign cases are derived
+*programmatically* at import (no 256-entry lookup tables), and every case
+emits 0-2 triangles with outward orientation. Downstream consumers only ever
+use point clouds sampled from the mesh (reconstruct_rgbd_filter.py:123), so
+the triangulation difference is irrelevant at the metric level while the
+vertex set still lies exactly on the TSDF zero surface.
+
+TPU shape: active cells (all 8 corners observed, mixed signs) are compacted
+to a static capacity; per-cell work is fully vectorized gathers + lerps; the
+triangle soup is padded + masked. Vertex welding happens host-side at save
+time (numpy unique on quantized vertices).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from itertools import product
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otslam_tpu.kernels.tsdf import TSDFVolume
+
+# cube corner offsets (x, y, z), index = x*4? no — bit i: (x_i, y_i, z_i)
+_CORNERS = np.array(list(product((0, 1), repeat=3)), np.int32)  # (8, 3), z fastest
+
+# 6-tetrahedra decomposition of the cube sharing the main diagonal 0-7
+_TETS = np.array([
+    [0, 1, 3, 7],
+    [0, 3, 2, 7],
+    [0, 2, 6, 7],
+    [0, 6, 4, 7],
+    [0, 4, 5, 7],
+    [0, 5, 1, 7],
+], np.int32)
+
+
+def _build_tet_table():
+    """For each of 16 inside/outside sign cases of a tetrahedron, the
+    triangles as edge pairs: table (16, 2, 3, 2), -1 padded.
+
+    A tet vertex is "inside" when tsdf < 0. Crossing edges connect inside
+    to outside vertices; 1 or 3 inside vertices give one triangle, 2 give
+    two (a quad). Winding is fixed afterwards using the TSDF gradient, so
+    the table only records connectivity.
+    """
+    table = -np.ones((16, 2, 3, 2), np.int32)
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    for case in range(16):
+        inside = [v for v in range(4) if case & (1 << v)]
+        outside = [v for v in range(4) if v not in inside]
+        cross = [(a, b) for (a, b) in edges
+                 if (a in inside) != (b in inside)]
+        if len(inside) in (1, 3):
+            # single triangle around the lone vertex
+            lone = inside[0] if len(inside) == 1 else outside[0]
+            tri = [e for e in cross if lone in e]
+            assert len(tri) == 3
+            table[case, 0] = np.array(tri)
+        elif len(inside) == 2:
+            a, b = inside
+            c, d = outside
+            # quad vertices in cyclic order: (a,c), (a,d), (b,d), (b,c)
+            q = [tuple(sorted(e)) for e in
+                 [(a, c), (a, d), (b, d), (b, c)]]
+            table[case, 0] = np.array([q[0], q[1], q[2]])
+            table[case, 1] = np.array([q[0], q[2], q[3]])
+    return table
+
+
+_TET_TABLE = _build_tet_table()  # (16, 2, 3, 2)
+
+
+@partial(jax.jit, static_argnames=("max_cells",))
+def extract_mesh_soup(vol: TSDFVolume, max_cells: int = 131072):
+    """Marching-tetrahedra triangle soup.
+
+    Returns (verts (T, 3, 3), cols (T, 3, 3), tri_mask (T,)) with
+    T = max_cells * 12 (6 tets x up to 2 triangles). Degenerate/absent
+    triangles are masked out. Triangle winding: outward (toward tsdf > 0).
+    """
+    X, Y, Z = vol.dims
+    t = vol.tsdf
+    w = vol.weight
+
+    # active cells: all 8 corners observed and not all on one side
+    def corner(arr, dx, dy, dz):
+        return arr[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
+
+    t_c = jnp.stack([corner(t, *c) for c in _CORNERS])    # (8, X-1, Y-1, Z-1)
+    w_c = jnp.stack([corner(w, *c) for c in _CORNERS])
+    observed = jnp.all(w_c > 0, axis=0)
+    neg = t_c < 0
+    mixed = jnp.any(neg, axis=0) & ~jnp.all(neg, axis=0)
+    active = (observed & mixed).reshape(-1)
+    (cells,) = jnp.nonzero(active, size=max_cells, fill_value=0)
+    cell_mask = jnp.arange(max_cells) < jnp.sum(active)
+
+    # decode cell -> corner voxel indices
+    cy = (Y - 1)
+    cz = (Z - 1)
+    ci = cells // (cy * cz)
+    cj = (cells // cz) % cy
+    ck = cells % cz
+
+    # per-cell corner tsdf/color and world positions
+    flat = t.reshape(-1)
+    corner_flat = ((ci[:, None] + _CORNERS[None, :, 0]) * (Y * Z)
+                   + (cj[:, None] + _CORNERS[None, :, 1]) * Z
+                   + (ck[:, None] + _CORNERS[None, :, 2]))     # (C, 8)
+    tv = jnp.take(flat, corner_flat)                            # (C, 8)
+    cf = vol.color.reshape(3, -1)
+    cv = jnp.stack([jnp.take(cf[c], corner_flat) for c in range(3)],
+                   axis=-1)                                     # (C, 8, 3)
+    base = jnp.stack([ci, cj, ck], axis=-1).astype(jnp.float32)
+    corner_pos = ((base[:, None, :] + _CORNERS[None].astype(jnp.float32)
+                   + 0.5) * vol.voxel_size
+                  + jnp.asarray(vol.origin, jnp.float32))       # (C, 8, 3)
+
+    # per-tet case ids
+    tet_t = tv[:, _TETS]                                        # (C, 6, 4)
+    bits = (tet_t < 0).astype(jnp.int32)
+    case = (bits[..., 0] + bits[..., 1] * 2 + bits[..., 2] * 4
+            + bits[..., 3] * 8)                                 # (C, 6)
+
+    table = jnp.asarray(_TET_TABLE)                             # (16,2,3,2)
+    tri_edges = table[case]                                     # (C,6,2,3,2)
+    present = tri_edges[..., 0, 0] >= 0                         # (C, 6, 2)
+
+    # edge endpoints as cube-corner indices
+    tets = jnp.asarray(_TETS)
+    cube_a = tets[jnp.arange(6)[None, :, None, None],
+                  jnp.clip(tri_edges[..., 0], 0, 3)]            # (C,6,2,3)
+    cube_b = tets[jnp.arange(6)[None, :, None, None],
+                  jnp.clip(tri_edges[..., 1], 0, 3)]
+
+    C = max_cells
+    ta = jnp.take_along_axis(tv[:, None, None, :], cube_a.reshape(C, 1, 1, -1),
+                             axis=3).reshape(C, 6, 2, 3)
+    tb = jnp.take_along_axis(tv[:, None, None, :], cube_b.reshape(C, 1, 1, -1),
+                             axis=3).reshape(C, 6, 2, 3)
+    pa = jnp.take_along_axis(
+        corner_pos[:, None, :, :], cube_a.reshape(C, 1, -1, 1),
+        axis=2).reshape(C, 6, 2, 3, 3)
+    pb = jnp.take_along_axis(
+        corner_pos[:, None, :, :], cube_b.reshape(C, 1, -1, 1),
+        axis=2).reshape(C, 6, 2, 3, 3)
+    ca = jnp.take_along_axis(
+        cv[:, None, :, :], cube_a.reshape(C, 1, -1, 1),
+        axis=2).reshape(C, 6, 2, 3, 3)
+    cb = jnp.take_along_axis(
+        cv[:, None, :, :], cube_b.reshape(C, 1, -1, 1),
+        axis=2).reshape(C, 6, 2, 3, 3)
+
+    denom = ta - tb
+    frac = ta / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    frac = jnp.clip(frac, 0.0, 1.0)[..., None]
+    verts = pa + (pb - pa) * frac                               # (C,6,2,3,3)
+    cols = jnp.clip((ca + (cb - ca) * frac) / 255.0, 0.0, 1.0)
+
+    # fix winding so normals point toward positive tsdf (outward): compare
+    # each triangle's geometric normal with the cell's trilinear TSDF
+    # gradient, g_k = sum_i tv_i * (2*offset_ik - 1) / 4
+    n_geom = jnp.cross(verts[..., 1, :] - verts[..., 0, :],
+                       verts[..., 2, :] - verts[..., 0, :])     # (C,6,2,3)
+    gdir = jnp.einsum("cv,vk->ck", tv,
+                      (2.0 * _CORNERS.astype(np.float32) - 1.0) / 4.0)
+    flip = jnp.einsum("cstk,ck->cst", n_geom, gdir) < 0         # (C,6,2)
+    v1 = jnp.where(flip[..., None, None], verts[..., [0, 2, 1], :], verts)
+    c1 = jnp.where(flip[..., None, None], cols[..., [0, 2, 1], :], cols)
+
+    tri_mask = (present & cell_mask[:, None, None]).reshape(-1)
+    return (v1.reshape(-1, 3, 3), c1.reshape(-1, 3, 3), tri_mask)
+
+
+def extract_mesh(vol: TSDFVolume, max_cells: int = 131072):
+    """Host-side welded mesh: (vertices (V,3), faces (F,3), colors (V,3),
+    normals (V,3)). Vertices quantized to 1e-5 m for welding."""
+    verts, cols, mask = extract_mesh_soup(vol, max_cells)
+    v = np.asarray(verts)[np.asarray(mask)].reshape(-1, 3)
+    c = np.asarray(cols)[np.asarray(mask)].reshape(-1, 3)
+    if len(v) == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
+                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32))
+    key = np.round(v / 1e-5).astype(np.int64)
+    uniq, index, inverse = np.unique(key, axis=0, return_index=True,
+                                     return_inverse=True)
+    vertices = v[index]
+    colors = c[index]
+    faces = inverse.reshape(-1, 3).astype(np.int32)
+    # drop degenerate faces (repeated welded vertices)
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    faces = faces[ok]
+    # area-weighted vertex normals
+    tri = vertices[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    normals = np.zeros_like(vertices)
+    for k in range(3):
+        np.add.at(normals, faces[:, k], n)
+    ln = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.where(ln > 1e-12, ln, 1.0)
+    return (vertices.astype(np.float32), faces, colors.astype(np.float32),
+            normals.astype(np.float32))

@@ -100,14 +100,28 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
                        cfg: ReconstructionConfig | None = None,
                        backend: str = "pallas", save_dir: str | None = None,
                        z_filter: bool = True, seed: int = 0,
-                       frame_numbers: Sequence[int] | None = None
-                       ) -> ReconstructionResult:
-    """Full per-object pipeline; writes <save_dir>/<obj_name>.ply if asked."""
+                       frame_numbers: Sequence[int] | None = None,
+                       output: str = "cloud") -> ReconstructionResult:
+    """Full per-object pipeline; writes <save_dir>/<obj_name>.ply if asked.
+
+    output='cloud': filtered sampled point cloud (reconstruct_rgbd_filter.py);
+    output='mesh': welded triangle mesh with vertex normals
+    (reconstruct_rgbd.py's extract_triangle_mesh + compute_vertex_normals).
+    """
     cfg = cfg or ReconstructionConfig()
     batch = ds.load_object(obj_name, frame_numbers)
     intr = PinholeIntrinsics.from_config(ds.camera)
     vol = fuse_frames(batch.depths, batch.colors, batch.extrinsics, intr,
                       cfg, backend)
+    if output == "mesh":
+        from otslam_tpu.kernels.marching import extract_mesh
+        verts, faces, cols, normals = extract_mesh(vol)
+        res = ReconstructionResult(verts, cols, normals, len(batch.names),
+                                   len(verts))
+        if save_dir is not None:
+            tio.write_ply(os.path.join(save_dir, f"{obj_name}.ply"),
+                          verts, colors=cols, normals=normals, faces=faces)
+        return res
     res = extract_filtered_cloud(vol, cfg, seed=seed, z_filter=z_filter)
     res.num_frames = len(batch.names)
     if save_dir is not None:

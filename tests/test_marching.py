@@ -1,0 +1,90 @@
+"""Marching-tetrahedra mesh extraction."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from otslam_tpu.config import TSDFConfig
+from otslam_tpu.core import io as tio
+from otslam_tpu.core.camera import PinholeIntrinsics
+from otslam_tpu.kernels.marching import extract_mesh, extract_mesh_soup, _TET_TABLE
+from otslam_tpu.kernels.tsdf import TSDFVolume, make_volume, integrate_frames
+
+CFG = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(48, 48, 48),
+                 origin=(-0.48, -0.48, -0.48))
+
+
+def sphere_volume(radius=0.3):
+    """Analytic truncated SDF of a sphere, fully observed."""
+    X, Y, Z = CFG.dims
+    xs = CFG.origin[0] + (np.arange(X) + 0.5) * CFG.voxel_size
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    d = np.linalg.norm(g, axis=-1) - radius
+    tsdf = np.clip(d / CFG.sdf_trunc, -1, 1).astype(np.float32)
+    vol = make_volume(CFG)
+    return TSDFVolume(jnp.asarray(tsdf), jnp.ones_like(vol.weight),
+                      jnp.full_like(vol.color, 128.0), CFG.origin,
+                      CFG.voxel_size, CFG.sdf_trunc)
+
+
+class TestTetTable:
+    def test_case_triangle_counts(self):
+        counts = [(_TET_TABLE[c, :, 0, 0] >= 0).sum() for c in range(16)]
+        assert counts[0] == 0 and counts[15] == 0
+        for c in range(1, 15):
+            ninside = bin(c).count("1")
+            assert counts[c] == (2 if ninside == 2 else 1)
+
+
+class TestSphere:
+    def test_vertices_on_sphere(self):
+        vol = sphere_volume(0.3)
+        verts, faces, cols, normals = extract_mesh(vol, max_cells=32768)
+        assert len(verts) > 1000 and len(faces) > 1000
+        r = np.linalg.norm(verts, axis=1)
+        # zero-crossing interpolation: vertices within half a voxel of r=0.3
+        assert np.abs(r - 0.3).max() < CFG.voxel_size
+        assert np.sqrt(np.mean((r - 0.3) ** 2)) < 2e-3
+
+    def test_normals_outward(self):
+        vol = sphere_volume(0.3)
+        verts, faces, cols, normals = extract_mesh(vol, max_cells=32768)
+        rad = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+        cosang = np.sum(normals * rad, axis=1)
+        assert np.mean(cosang > 0.7) > 0.98
+
+    def test_mesh_is_edge_manifold(self):
+        """Every interior edge is shared by exactly 2 triangles (closed
+        surface from marching tets must be watertight)."""
+        vol = sphere_volume(0.3)
+        verts, faces, cols, normals = extract_mesh(vol, max_cells=32768)
+        edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                                faces[:, [2, 0]]])
+        edges = np.sort(edges, axis=1)
+        uniq, counts = np.unique(edges, axis=0, return_counts=True)
+        assert (counts == 2).mean() > 0.999
+
+    def test_mesh_ply_roundtrip(self, tmp_path):
+        vol = sphere_volume(0.25)
+        verts, faces, cols, normals = extract_mesh(vol, max_cells=32768)
+        p = str(tmp_path / "sphere.ply")
+        tio.write_ply(p, verts, colors=cols, normals=normals, faces=faces)
+        back = tio.read_ply(p)
+        assert back["faces"].shape == faces.shape
+        np.testing.assert_allclose(back["points"], verts, atol=1e-5)
+
+
+class TestFromFusion:
+    def test_wall_mesh_from_integrated_frames(self):
+        intr = PinholeIntrinsics(64, 48, 56.0, 56.0, 32.0, 24.0)
+        depth = jnp.full((48, 64), 0.3503, jnp.float32)
+        color = jnp.full((48, 64, 3), 200.0, jnp.float32)
+        ext = jnp.eye(4)[None]
+        cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(48, 48, 48),
+                         origin=(-0.48, -0.48, 0.0))
+        vol = integrate_frames(make_volume(cfg), depth[None], color[None],
+                               ext, intr)
+        verts, faces, cols, normals = extract_mesh(vol, max_cells=16384)
+        assert len(verts) > 50
+        assert np.abs(verts[:, 2] - 0.3503).max() < 0.02
+        # colors carried through (200/255)
+        np.testing.assert_allclose(cols.mean(), 200 / 255, atol=0.02)
