@@ -1,0 +1,281 @@
+"""Command-line interface.
+
+One ``otslam`` command with subcommands covering every reference script's
+entry point (the reference uses per-script hardcoded CONFIG blocks; here
+everything is flags over the same typed config tree):
+
+  reconstruct   3d_model/reconstruct_rgbd[_filter|_gt].py, multi_reconstruct
+  check-frame   3d_model/check_one_frame.py
+  probe-depth   3d_model/depth_scale.py + depth_visual.py
+  trajectory    3d_model/visualize_trajectory.py
+  hybrid-map    fusion/hybrid_map.py (+ manual alignment offsets)
+  merge-2d      fusion/2d_selective_merge.py (explicit regions, headless)
+  eval          eval/eval_*. py (analytic GT scenarios or a GT ply)
+  mission       closed-loop simulated mission (the Gazebo-equivalent run)
+  bench         the headline throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_reconstruct(sub):
+    p = sub.add_parser("reconstruct", help="TSDF-reconstruct objects from a "
+                       "capture dataset")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--object", default=None, help="single object name")
+    p.add_argument("--backend", default="pallas",
+                   choices=["pallas", "sparse", "dense"])
+    p.add_argument("--mesh", action="store_true",
+                   help="save triangle meshes instead of filtered clouds")
+    p.add_argument("--no-z-filter", action="store_true")
+    p.add_argument("--gt-poses", action="store_true",
+                   help="dataset captured with ground-truth body poses "
+                        "(reconstruct_rgbd_gt.py T_fix variant)")
+    p.add_argument("--ranges", default=None,
+                   help='explicit frame ranges, e.g. "Object_0:1-16,Object_1:2-9"')
+    p.add_argument("--config", default=None, help="config JSON file")
+
+
+def _cmd_reconstruct(args):
+    from otslam_tpu.config import OTSLAMConfig
+    from otslam_tpu.core.se3 import T_FIX_GT, T_FIX_OPTICAL
+    from otslam_tpu.pipeline.dataset import CaptureDataset
+    from otslam_tpu.pipeline.reconstruct import (
+        reconstruct_all, reconstruct_object, reconstruct_range)
+
+    cfg = _load_cfg(args)
+    ds = CaptureDataset(args.dataset, cfg.camera,
+                        t_fix=T_FIX_GT if args.gt_poses else T_FIX_OPTICAL)
+    save_dir = args.save_dir or os.path.join(args.dataset, "3d_reconst")
+    kw = dict(cfg=cfg.reconstruction, backend=args.backend,
+              save_dir=save_dir, z_filter=not args.no_z_filter,
+              output="mesh" if args.mesh else "cloud")
+    if args.ranges:
+        ranges = {}
+        for part in args.ranges.split(","):
+            name, span = part.split(":")
+            lo, hi = span.split("-")
+            ranges[name] = (int(lo), int(hi))
+        out = reconstruct_range(ds, ranges, **kw)
+    elif args.object:
+        out = {args.object: reconstruct_object(ds, args.object, **kw)}
+    else:
+        out = reconstruct_all(ds, **kw)
+    for name, res in out.items():
+        print(f"{name}: {len(res.points)} points from {res.num_frames} frames "
+              f"-> {os.path.join(save_dir, name + '.ply')}")
+
+
+def _cmd_check_frame(args):
+    import jax.numpy as jnp
+
+    from otslam_tpu.config import OTSLAMConfig
+    from otslam_tpu.core import io as tio
+    from otslam_tpu.core.camera import PinholeIntrinsics
+    from otslam_tpu.kernels.backproject import backproject_pointcloud
+    from otslam_tpu.kernels.voxel import voxel_downsample
+
+    cfg = _load_cfg(args)
+    intr = PinholeIntrinsics.from_config(cfg.camera)
+    depth = tio.read_depth_png(args.depth, cfg.camera.depth_scale)
+    color = tio.read_color(args.color) if args.color else None
+    pc = backproject_pointcloud(
+        jnp.asarray(depth),
+        None if color is None else jnp.asarray(color),
+        intr, depth_trunc=args.trunc)
+    pts, cols = pc.to_numpy()
+    if args.voxel > 0:
+        dpts, dcols, mask = voxel_downsample(
+            jnp.asarray(pts), args.voxel,
+            colors=None if cols is None else jnp.asarray(cols))
+        m = np.asarray(mask)
+        pts = np.asarray(dpts)[m]
+        cols = None if dcols is None else np.asarray(dcols)[m]
+    tio.write_ply(args.out, pts, colors=cols)
+    print(f"{len(pts)} points -> {args.out}")
+
+
+def _cmd_probe_depth(args):
+    from otslam_tpu.core import io as tio
+    from otslam_tpu.utils.probes import depth_heat_image, depth_stats
+
+    try:
+        import cv2
+        raw = cv2.imread(args.path, cv2.IMREAD_UNCHANGED)
+    except ImportError:
+        raw = None
+    if raw is None:
+        raw = (tio.read_depth_png(args.path) * 1000).astype(np.uint16)
+    print(json.dumps(depth_stats(raw), indent=2))
+    if args.heat:
+        tio.write_color(args.heat,
+                        np.stack([depth_heat_image(raw)] * 3, axis=-1))
+        print(f"heat image -> {args.heat}")
+
+
+def _cmd_trajectory(args):
+    import glob
+
+    from otslam_tpu.core import io as tio
+    from otslam_tpu.core.se3 import T_FIX_GT, T_FIX_OPTICAL
+    from otslam_tpu.utils.probes import trajectory_frames
+
+    poses = [tio.read_pose_txt(f)
+             for f in sorted(glob.glob(os.path.join(args.poses, "*.txt")))]
+    pts, cols = trajectory_frames(
+        poses, T_FIX_GT if args.gt_poses else T_FIX_OPTICAL)
+    tio.write_ply(args.out, pts, colors=cols)
+    print(f"{len(poses)} poses -> {args.out}")
+
+
+def _cmd_hybrid_map(args):
+    from otslam_tpu.mapping.hybrid import hybrid_map_from_files
+
+    pts, cols = hybrid_map_from_files(args.map_yaml, args.map_pgm,
+                                      args.objects, args.out)
+    print(f"hybrid map: {len(pts)} points -> {args.out}")
+
+
+def _cmd_merge_2d(args):
+    from otslam_tpu.core import io as tio
+    from otslam_tpu.mapping.merge import selective_merge
+
+    old = tio.read_pgm(args.old)
+    new = tio.read_pgm(args.new)
+    regions = []
+    for part in args.regions.split(";"):
+        x, y, w, h = (int(v) for v in part.split(","))
+        regions.append((x, y, w, h))
+    out = selective_merge(old, new, regions)
+    tio.write_pgm(args.out, out)
+    print(f"merged {len(regions)} regions -> {args.out}")
+
+
+def _cmd_eval(args):
+    from otslam_tpu.core import io as tio
+    from otslam_tpu.eval.metrics import evaluate_map
+    from otslam_tpu.eval.scenarios import scenario_gt
+
+    map_pts = tio.read_ply(args.map)["points"]
+    if args.gt:
+        gt = tio.read_ply(args.gt)["points"]
+    else:
+        gt = scenario_gt(args.scenario, args.gt_samples)
+    m = evaluate_map(map_pts, gt, use_icp=args.icp)
+    print(json.dumps({"accuracy_cm": round(m.accuracy_cm, 3),
+                      "completeness_cm": round(m.completeness_cm, 3),
+                      "icp_fitness": round(m.icp_fitness, 4)}))
+
+
+def _cmd_mission(args):
+    from otslam_tpu.config import OTSLAMConfig, TrackerConfig
+    from otslam_tpu.sim.runner import MissionRunner
+    from otslam_tpu.sim.world import (
+        Scene, cardboard_room, cone_room, table_chair_room)
+
+    scenes = {"cardboard": cardboard_room, "cone": cone_room,
+              "table_chair": table_chair_room}
+    world = scenes[args.scenario]()
+    cfg = OTSLAMConfig(tracker=TrackerConfig.update_pipeline_profile())
+    runner = MissionRunner(
+        scene_map=Scene(objects=()), scene_world=world,
+        workdir=args.workdir, cfg=cfg,
+        start_pose=tuple(float(v) for v in args.start.split(",")))
+    s = runner.run(max_ticks=args.max_ticks)
+    print(json.dumps({
+        "missions": s.missions_completed, "frames": s.frames_captured,
+        "stable_objects": s.stable_objects, "sim_time_s": round(s.sim_time, 1),
+        "labels": s.labels, "dataset": os.path.join(args.workdir, "dataset"),
+    }))
+
+
+def _cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def _load_cfg(args):
+    from otslam_tpu.config import OTSLAMConfig
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            return OTSLAMConfig.from_json(f.read())
+    return OTSLAMConfig()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="otslam",
+                                 description="TPU-native OTSLAM framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    _add_reconstruct(sub)
+
+    p = sub.add_parser("check-frame", help="back-project one RGB-D frame")
+    p.add_argument("--depth", required=True)
+    p.add_argument("--color", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--voxel", type=float, default=0.01)
+    p.add_argument("--trunc", type=float, default=5.0)
+    p.add_argument("--config", default=None)
+
+    p = sub.add_parser("probe-depth", help="depth format/stats probe")
+    p.add_argument("path")
+    p.add_argument("--heat", default=None)
+
+    p = sub.add_parser("trajectory", help="camera trajectory markers")
+    p.add_argument("--poses", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--gt-poses", action="store_true")
+
+    p = sub.add_parser("hybrid-map", help="merge 2D map + 3D objects")
+    p.add_argument("--map-yaml", required=True)
+    p.add_argument("--map-pgm", required=True)
+    p.add_argument("--objects", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("merge-2d", help="selective 2D map merge")
+    p.add_argument("--old", required=True)
+    p.add_argument("--new", required=True)
+    p.add_argument("--regions", required=True, help='"x,y,w,h;x,y,w,h"')
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("eval", help="accuracy/completeness vs GT")
+    p.add_argument("--map", required=True)
+    p.add_argument("--scenario", default="cardboard",
+                   choices=["cardboard", "cone", "table_chair"])
+    p.add_argument("--gt", default=None, help="GT ply (overrides scenario)")
+    p.add_argument("--gt-samples", type=int, default=50000)
+    p.add_argument("--icp", action="store_true")
+
+    p = sub.add_parser("mission", help="run a closed-loop simulated mission")
+    p.add_argument("--scenario", default="cardboard",
+                   choices=["cardboard", "cone", "table_chair"])
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--start", default="-2.0,-2.0,0.5")
+    p.add_argument("--max-ticks", type=int, default=300)
+
+    sub.add_parser("bench", help="fusion throughput benchmark")
+
+    args = ap.parse_args(argv)
+    {
+        "reconstruct": _cmd_reconstruct,
+        "check-frame": _cmd_check_frame,
+        "probe-depth": _cmd_probe_depth,
+        "trajectory": _cmd_trajectory,
+        "hybrid-map": _cmd_hybrid_map,
+        "merge-2d": _cmd_merge_2d,
+        "eval": _cmd_eval,
+        "mission": _cmd_mission,
+        "bench": _cmd_bench,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
