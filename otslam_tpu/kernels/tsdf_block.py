@@ -135,28 +135,32 @@ def _depth_mips(depth: jnp.ndarray, tile: int = 16):
     dmin0 = pool3(dmin0, jnp.min, jnp.inf)
     dmax0 = pool3(dmax0, jnp.max, 0.0)
 
-    # level 1: 4x coarser (pad to multiples of 4 first)
-    ph, pw = (-th) % 4, (-tw) % 4
-    dmin_p = jnp.pad(dmin0, ((0, ph), (0, pw)), constant_values=jnp.inf)
-    dmax_p = jnp.pad(dmax0, ((0, ph), (0, pw)), constant_values=0.0)
-    t1h, t1w = (th + ph) // 4, (tw + pw) // 4
-    dmin1 = jnp.min(dmin_p.reshape(t1h, 4, t1w, 4), axis=(1, 3))
-    dmax1 = jnp.max(dmax_p.reshape(t1h, 4, t1w, 4), axis=(1, 3))
+    def coarsen(mn, mx, h, w, f):
+        """f-x coarser level with 3x3 dilation, broadcast back to level 0."""
+        ph, pw = (-h) % f, (-w) % f
+        mn_p = jnp.pad(mn, ((0, ph), (0, pw)), constant_values=jnp.inf)
+        mx_p = jnp.pad(mx, ((0, ph), (0, pw)), constant_values=0.0)
+        lh, lw = (h + ph) // f, (w + pw) // f
+        mn_c = jnp.min(mn_p.reshape(lh, f, lw, f), axis=(1, 3))
+        mx_c = jnp.max(mx_p.reshape(lh, f, lw, f), axis=(1, 3))
 
-    # dilate level 1 as well: footprints larger than a level-1 tile stay
-    # conservative when classified by their center tile's parent
-    def pool3_l1(m, reducer, pad_val):
-        p = jnp.pad(m, 1, constant_values=pad_val)
-        stack = jnp.stack([p[i:i + t1h, j:j + t1w]
-                           for i in range(3) for j in range(3)])
-        return reducer(stack, axis=0)
-    dmin1 = pool3_l1(dmin1, jnp.min, jnp.inf)
-    dmax1 = pool3_l1(dmax1, jnp.max, 0.0)
-    # broadcast each tile's parent back to level-0 layout
-    dmin1_full = jnp.repeat(jnp.repeat(dmin1, 4, 0), 4, 1)[:th, :tw]
-    dmax1_full = jnp.repeat(jnp.repeat(dmax1, 4, 0), 4, 1)[:th, :tw]
-    table = jnp.stack([dmin0, dmax0, dmin1_full, dmax1_full], axis=-1)
-    table = jnp.pad(table.reshape(th * tw, 4), ((0, 0), (0, 4)))
+        def pool3(m, reducer, pad_val):
+            p = jnp.pad(m, 1, constant_values=pad_val)
+            stack = jnp.stack([p[i:i + lh, j:j + lw]
+                               for i in range(3) for j in range(3)])
+            return reducer(stack, axis=0)
+        mn_c = pool3(mn_c, jnp.min, jnp.inf)
+        mx_c = pool3(mx_c, jnp.max, 0.0)
+        mn_f = jnp.repeat(jnp.repeat(mn_c, f, 0), f, 1)[:h, :w]
+        mx_f = jnp.repeat(jnp.repeat(mx_c, f, 0), f, 1)[:h, :w]
+        return mn_f, mx_f
+
+    # levels 1 and 2: 2x and 4x coarser tiles (32 px and 64 px at tile=16);
+    # the finest adequate level keeps the creation band tight
+    dmin1, dmax1 = coarsen(dmin0, dmax0, th, tw, 2)
+    dmin2, dmax2 = coarsen(dmin0, dmax0, th, tw, 4)
+    table = jnp.stack([dmin0, dmax0, dmin1, dmax1, dmin2, dmax2], axis=-1)
+    table = jnp.pad(table.reshape(th * tw, 6), ((0, 0), (0, 2)))
     return table, th, tw
 
 
@@ -186,13 +190,22 @@ def _active_blocks(vol: BlockTSDFVolume, depth: jnp.ndarray,
 
     tile = 16
     table, th, tw = _depth_mips(depth, tile)
-    # choose mip level by footprint size; one packed row-gather serves both
-    use_l1 = slack > (tile * 1.5)
+    # finest adequate mip level by footprint size (each level l covers a
+    # dilated (3*2^l*tile) window, guaranteeing +/- 2^l*tile of margin);
+    # one packed row-gather serves all levels
     tu0 = jnp.clip((u / tile).astype(jnp.int32), 0, tw - 1)
     tv0 = jnp.clip((v / tile).astype(jnp.int32), 0, th - 1)
     rows = jnp.take(table, tv0 * tw + tu0, axis=0)
-    bmin = jnp.where(use_l1, rows[:, 2], rows[:, 0])
-    bmax = jnp.where(use_l1, rows[:, 3], rows[:, 1])
+    l1 = slack > tile
+    l2 = slack > 2 * tile
+    bmin = jnp.where(l2, rows[:, 4], jnp.where(l1, rows[:, 2], rows[:, 0]))
+    bmax = jnp.where(l2, rows[:, 5], jnp.where(l1, rows[:, 3], rows[:, 1]))
+    # footprints beyond the coarsest level: be conservative (whole image)
+    too_big = slack > 4 * tile
+    gmin = jnp.min(rows[:, 4].min())  # dilated level-2 min is a cheap proxy
+    gmax = jnp.max(rows[:, 5].max())
+    bmin = jnp.where(too_big, gmin, bmin)
+    bmax = jnp.where(too_big, gmax, bmax)
 
     has_depth = bmax > 0
     band = (in_frustum & has_depth

@@ -90,7 +90,8 @@ def _project(e, wx, wy, wz, intr):
     return u, v, pz
 
 
-DEPTH_WIN = 384  # aligned lane window for depth selection (3 lane tiles)
+DEPTH_WIN = 256  # aligned lane window for depth selection (2 lane tiles);
+# guarantees full u-coverage of an 8-voxel block for z >= ~fx*0.08/64 m
 
 
 def _make_kernel(intr: PinholeIntrinsics, grid_blocks: Tuple[int, int, int],
@@ -147,13 +148,16 @@ def _make_kernel(intr: PinholeIntrinsics, grid_blocks: Tuple[int, int, int],
                 iota_ph = jax.lax.broadcasted_iota(
                     jnp.int32, (patch_rows_half, BLOCK_VOXELS), 0)
                 ovhT = (((v_r // 2) - pvh) == iota_ph).astype(jnp.float32)
-                cp = chalf_ref[pl.ds(pvh, patch_rows_half), :]      # (PRh, 3*W2)
-                csel = []
-                for c in range(3):
-                    Mc = jax.lax.dot_general(
-                        cp[:, c * W2:(c + 1) * W2], ouh, dims,
-                        preferred_element_type=jnp.float32)         # (PRh, 512)
-                    csel.append(jnp.sum(Mc * ovhT, axis=0, keepdims=True))
+                # channels stacked on the M dim: one (3*PRh, W2) matmul
+                cp3 = jnp.concatenate(
+                    [chalf_ref[pl.ds(c * H2 + pvh, patch_rows_half), :]
+                     for c in range(3)], axis=0)                    # (3*PRh, W2)
+                Mc3 = jax.lax.dot_general(
+                    cp3, ouh, dims,
+                    preferred_element_type=jnp.float32)             # (3*PRh, 512)
+                csel = [jnp.sum(Mc3[c * patch_rows_half:(c + 1) * patch_rows_half]
+                                * ovhT, axis=0, keepdims=True)
+                        for c in range(3)]
 
                 # --- TSDF update (same math as the XLA paths) ---
                 in_img = ((pz_r > 0) & (u_r >= 0) & (u_r < W)
@@ -186,7 +190,7 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, depth, chalf,
     """Run the Pallas kernel over compact active-block rows.
 
     tsdf_rows/w_rows: (A, 512) f32; col_rows: (A, 1536) f32;
-    depth: (H, W) f32; chalf: (H//2, 3*W//2) bf16 (channel-major rows);
+    depth: (H, W) f32; chalf: (3*H//2, W//2) bf16 (channels stacked on rows);
     ids/pvf/pvh/puf: (A,) i32; evec: (12,) f32 (extrinsic rows 0..2).
     """
     grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
@@ -250,9 +254,10 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     vol_meta = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
     cx_b, cy_b, cz_b = _block_centers(vol)
 
-    # half-res bf16 color pyramid, channel-major rows: (N, H2, 3*W2)
-    chalf_all = (colors[:, ::2, ::2, :].transpose(0, 1, 3, 2)
-                 .reshape(depths.shape[0], H // 2, 3 * W2).astype(jnp.bfloat16))
+    # half-res bf16 color pyramid, channels stacked on rows: (N, 3*H2, W2)
+    chalf_all = (colors[:, ::2, ::2, :].transpose(0, 3, 1, 2)
+                 .reshape(depths.shape[0], 3 * (H // 2), W2)
+                 .astype(jnp.bfloat16))
 
     # per-frame block activity precomputed for the whole batch (no carry deps)
     dummy = BlockTSDFVolume(vol.tsdf, vol.weight, vol.color, vol.created,
