@@ -83,6 +83,14 @@ class ClusterConfig:
     wal_nmp_min: int = 20           # WALL: min points
     max_clusters: int = 64          # static capacity for padded cluster arrays
 
+    @classmethod
+    def initial_mapping_profile(cls) -> "ClusterConfig":
+        """Tuned values from lidar_navigation.launch.py:15-28 (first mapping
+        session, raw 1440-beam scans)."""
+        return cls(gap_threshold=0.2, max_range_ratio=1.0, wal_len_min=2.0,
+                   obj_len_max=1.0, wal_lin_max=0.001, obj_nmp_min=1,
+                   wal_nmp_min=150)
+
 
 @dataclass(frozen=True)
 class ChangeDetectConfig:
@@ -128,6 +136,18 @@ class TrackerConfig:
             stability_time=1.0,
             lock_margin=1.5,
             smoothing_factor=1.0,
+            visiting_point_buffer=0.1,
+        )
+
+    @classmethod
+    def initial_mapping_profile(cls) -> "TrackerConfig":
+        """Tuned values from lidar_navigation.launch.py:36-44 (raw scan-point
+        clusters from the classifier)."""
+        return cls(
+            cluster_distance_threshold=4.0,
+            min_cluster_points=8,
+            wall_thickness_threshold=0.3,
+            lock_margin=1.5,
             visiting_point_buffer=0.1,
         )
 

@@ -113,6 +113,24 @@ class GoalSender:
             return self.active_target
         return None
 
+    # --- mission-progress checkpointing ------------------------------------
+    # (the reference keeps visited ids in memory only and loses them on
+    # restart, 3_multi_send_goal_node.cpp:75-76 / SURVEY.md §5; here mission
+    # progress persists like every other pipeline artifact)
+
+    def save_state(self) -> dict:
+        return {
+            "visited_ids": sorted(self.visited_ids),
+            "visited_removed_ids": sorted(self.visited_removed_ids),
+            "current_object_focus": self.current_object_focus,
+        }
+
+    def load_state(self, state: dict) -> None:
+        self.visited_ids = set(state.get("visited_ids", []))
+        self.visited_removed_ids = set(state.get("visited_removed_ids", []))
+        self.current_object_focus = state.get("current_object_focus", -1)
+        self.active_target = None
+
     def pending_count(self) -> int:
         return (len([t for t in self.added_targets
                      if t.unique_id not in self.visited_ids])

@@ -78,6 +78,8 @@ class MissionRunner:
             self._navigate, self._scan_action, self._set_tracking,
             self.cfg.mission)
         self.summary = MissionSummary()
+        # observability: per-tick state trace (the RViz-marker equivalent)
+        self.trace: List[dict] = []
 
     # --- injected robot/sensor plumbing ------------------------------------
 
@@ -146,6 +148,17 @@ class MissionRunner:
         self.sender.on_removed_points(
             visiting_points(self.removed_tracker.stable_objects,
                             self.cfg.tracker, removed=True))
+        self.trace.append({
+            "t": round(self.t, 2),
+            "robot": (round(self.x, 3), round(self.y, 3), round(self.yaw, 3)),
+            "candidates": len(self.tracker.candidates),
+            "stable": [(round(s.cx, 3), round(s.cy, 3))
+                       for s in self.tracker.stable_objects],
+            "removed_stable": [(round(s.cx, 3), round(s.cy, 3))
+                               for s in self.removed_tracker.stable_objects],
+            "pending_goals": self.sender.pending_count(),
+            "frozen": not self.tracker.tracking_enabled,
+        })
 
     # --- main loop ----------------------------------------------------------
 

@@ -1,0 +1,163 @@
+"""Pipeline variants: object filter gate, initial-mapping classification,
+dense baseline + map-size stats, mission persistence, GT-pose datasets."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from otslam_tpu.config import (
+    CameraConfig, ClusterConfig, LidarConfig, MissionConfig, TrackerConfig,
+    OTSLAMConfig)
+from otslam_tpu.core import io as tio
+from otslam_tpu.core.camera import PinholeIntrinsics
+from otslam_tpu.core.se3 import T_FIX_GT, se3, yaw_to_matrix2d
+from otslam_tpu.eval.baseline import (
+    dense_room_reconstruction, hybrid_map_size_stats)
+from otslam_tpu.mapping.initial_mapping import LidarClusterClassifier
+from otslam_tpu.mapping.object_filter import WallProximityFilter
+from otslam_tpu.mission.goal_queue import GoalSender
+from otslam_tpu.mission.tracker import TrackedCluster
+from otslam_tpu.mission.visiting import visiting_points
+from otslam_tpu.pipeline.dataset import CaptureDataset
+from otslam_tpu.sim.sensors import look_at_pose, render_lidar, render_rgbd
+from otslam_tpu.sim.world import Box, Scene, cardboard_room
+
+LIDAR = LidarConfig(num_beams=360)
+
+
+def angles():
+    return jnp.asarray(np.linspace(0, 2 * np.pi, 360, endpoint=False),
+                       dtype=jnp.float32)
+
+
+class TestObjectFilter:
+    def test_drops_points_near_walls(self):
+        f = WallProximityFilter(0.5)
+        scene = Scene(objects=())
+        virt = render_lidar(scene, 0.0, 0.0, 0.0, angles())
+        f.on_virtual_scan(virt, angles(), (0.0, 0.0, 0.0))
+        pts = np.array([[4.9, 0.0],    # near the east wall (x=5)
+                        [2.0, 0.0]])   # free space
+        out = f.filter(pts)
+        assert len(out) == 1
+        np.testing.assert_allclose(out[0], [2.0, 0.0])
+
+    def test_no_walls_no_output(self):
+        f = WallProximityFilter()
+        assert len(f.filter(np.array([[1.0, 1.0]]))) == 0
+
+
+class TestInitialMapping:
+    def test_classifies_object_vs_walls(self):
+        scene = cardboard_room()
+        clf = LidarClusterClassifier(ClusterConfig.initial_mapping_profile(),
+                                     LIDAR)
+        # robot near the box so the object cluster is dense enough
+        pose = (0.3, 0.3, 0.2)
+        r = render_lidar(scene, *pose, angles(), LIDAR.range_min,
+                         LIDAR.range_max)
+        out = clf.classify(r, angles(), pose)
+        assert len(out["object"]) > 3
+        center = out["object"].mean(axis=0)
+        assert np.hypot(center[0] - 1.5, center[1] - 0.5) < 0.5
+        # the room's wall ring connects through the corners into one big
+        # non-linear cluster -> UNKNOWN (the reference behaves the same on a
+        # closed room; WALL fires for isolated straight segments)
+        ring = out["unknown"]
+        assert len(ring) > 100
+        d_ring_to_box = np.hypot(ring[:, 0] - 1.5, ring[:, 1] - 0.5)
+        assert np.median(d_ring_to_box) > 2.0
+
+    def test_wall_class_for_isolated_straight_segment(self):
+        # node-default thresholds: the tuned profile's wal_nmp_min=150
+        # assumes 1440-beam scans, this test renders 360 beams
+        clf = LidarClusterClassifier(ClusterConfig(), LIDAR)
+        # synthetic scan: a straight 3+ m wall segment ahead, nothing else
+        a = np.asarray(angles())
+        r = np.full(360, np.inf, np.float32)
+        deg = np.degrees(a)
+        sel = (deg < 55) | (deg > 305)  # wall spans the 0-degree wraparound
+        # wall x = 2.0: range = 2 / cos(angle); bbox diagonal > 2 m
+        r[sel] = 2.0 / np.cos(a[sel])
+        out = clf.classify(jnp.asarray(r), angles(), (0.0, 0.0, 0.0))
+        assert len(out["wall"]) > 100
+        np.testing.assert_allclose(out["wall"][:, 0], 2.0, atol=0.02)
+
+
+class TestDenseBaseline:
+    CAM = CameraConfig(width=160, height=120, fx=141.4002, fy=141.4002,
+                       cx=80.5, cy=60.5)
+
+    def test_dense_reconstruction_and_size_reduction(self, tmp_path):
+        scene = cardboard_room()
+        intr = PinholeIntrinsics.from_config(self.CAM)
+        # room-scanning trajectory
+        depths, colors, exts = [], [], []
+        for i in range(8):
+            a = 2 * np.pi * i / 8
+            eye = np.array([2.5 * np.cos(a), 2.5 * np.sin(a), 1.0])
+            pose = look_at_pose(eye, np.array([0.0, 0.0, 0.5]))
+            d, c = render_rgbd(scene, pose, intr, far=8.0)
+            depths.append(np.asarray(d))
+            colors.append(np.asarray(c))
+            exts.append(np.linalg.inv(pose).astype(np.float32))
+        pts, cols = dense_room_reconstruction(
+            np.stack(depths), np.stack(colors), np.stack(exts), intr,
+            room_bounds=(-5.2, 5.2, -5.2, 5.2, -0.1, 2.1),
+            voxel_size=0.04, sdf_trunc=0.16, samples=200_000)
+        assert len(pts) == 200_000
+        tio.write_ply(str(tmp_path / "dense.ply"), pts, colors=cols)
+
+        # selective hybrid map: small 2D pgm + one small object ply
+        tio.write_pgm(str(tmp_path / "map.pgm"),
+                      np.full((200, 200), 254, np.uint8))
+        objdir = tmp_path / "objs"
+        tio.write_ply(str(objdir / "Object_0.ply"),
+                      np.zeros((5000, 3), np.float32))
+        stats = hybrid_map_size_stats(str(tmp_path / "map.pgm"), str(objdir),
+                                      str(tmp_path / "dense.ply"))
+        assert stats.reduction_percent > 95.0
+        assert stats.hybrid_bytes < stats.dense_bytes
+
+
+class TestMissionPersistence:
+    def test_save_load_roundtrip(self):
+        gs = GoalSender(MissionConfig())
+        c0 = TrackedCluster(0.0, 0.0, 0.5, 0.5, 1.0, 0, 0, True)
+        pts = visiting_points([c0], TrackerConfig())
+        gs.on_added_points(pts)
+        gs.on_odom(0.0, 0.0)
+        g = gs.control_step()
+        gs.on_odom(g.x, g.y)
+        gs.control_step()  # marks visited
+        state = gs.save_state()
+        assert state["visited_ids"]
+
+        gs2 = GoalSender(MissionConfig())
+        gs2.load_state(state)
+        gs2.on_added_points(pts)
+        remaining = {t.unique_id for t in gs2.added_targets}
+        assert g.unique_id not in remaining
+
+
+class TestGTPoseDataset:
+    def test_gt_tfix_roundtrip(self, tmp_path):
+        """Body-frame captures (gt_ prefix pipeline) reconstruct correctly
+        with the T_FIX_GT variant (reconstruct_rgbd_gt.py:52-57)."""
+        cam = CameraConfig(width=64, height=48, fx=56.0, fy=56.0,
+                           cx=32.0, cy=24.0)
+        intr = PinholeIntrinsics.from_config(cam)
+        # body pose at origin facing +x; camera = body @ T_FIX_GT (optical)
+        R = np.eye(3)
+        body = se3(R, [0.0, 0.0, 0.3])
+        optical = body @ T_FIX_GT
+        scene = Scene(objects=(Box((1.5, 0.0, 0.15), (0.4, 0.4, 0.3)),),
+                      floor=False)
+        d, c = render_rgbd(scene, optical, intr, far=5.0)
+        ds = CaptureDataset(str(tmp_path), cam, t_fix=T_FIX_GT)
+        ds.save_frame("gt", np.asarray(c).astype(np.uint8), np.asarray(d),
+                      body)
+        batch = ds.load_object("gt")
+        # extrinsic must map the box center in front of the camera
+        p = batch.extrinsics[0] @ np.array([1.5, 0.0, 0.15, 1.0])
+        assert p[2] > 1.0  # in front (optical +z)
+        assert abs(p[0]) < 0.2 and abs(p[1]) < 0.3
