@@ -197,6 +197,56 @@ def _cmd_mission(args):
     }))
 
 
+def _cmd_capture(args):
+    """Manual RGB-D capture (the rgbd_capture_node equivalent, headless):
+    render one frame from an explicit pose in a named scenario and append it
+    to a dataset."""
+    from otslam_tpu.config import OTSLAMConfig
+    from otslam_tpu.core.camera import PinholeIntrinsics
+    from otslam_tpu.core.se3 import T_FIX_GT, se3, yaw_to_matrix2d
+    from otslam_tpu.pipeline.dataset import CaptureDataset
+    from otslam_tpu.core.se3 import T_FIX_OPTICAL
+    from otslam_tpu.sim.sensors import render_rgbd
+    from otslam_tpu.sim.world import (cardboard_room, cone_room,
+                                      table_chair_room)
+
+    scenes = {"cardboard": cardboard_room, "cone": cone_room,
+              "table_chair": table_chair_room}
+    scene = scenes[args.scenario]()
+    cfg = _load_cfg(args)
+    intr = PinholeIntrinsics.from_config(cfg.camera)
+    x, y, yaw = (float(v) for v in args.pose.split(","))
+    R = np.eye(3)
+    import numpy as _np
+    c, s = _np.cos(yaw), _np.sin(yaw)
+    R[:2, :2] = [[c, -s], [s, c]]
+    body = se3(R, [x, y, args.height])
+    optical = body @ T_FIX_GT
+    depth, color = render_rgbd(scene, optical, intr,
+                               far=cfg.camera.depth_max)
+    ds = CaptureDataset(args.workdir, cfg.camera)
+    pose_saved = optical @ T_FIX_OPTICAL.T
+    n = ds.save_frame(args.label, np.asarray(color).astype(np.uint8),
+                      np.asarray(depth), pose_saved)
+    print(f"captured {args.label}_{n} at ({x:.2f},{y:.2f},{yaw:.2f})")
+
+
+def _cmd_report(args):
+    from otslam_tpu.eval.metrics import EvalMetrics
+    from otslam_tpu.eval.report import (REFERENCE_RESULTS, plot_results,
+                                        print_summary_table)
+
+    results = {}
+    for part in args.results.split(";"):
+        name, acc, comp = part.split(",")
+        results[name] = EvalMetrics(float(acc), float(comp))
+    print_summary_table(results)
+    if args.plot:
+        plot_results(results, args.plot,
+                     baseline=REFERENCE_RESULTS if args.vs_reference else None)
+        print(f"plot -> {args.plot}")
+
+
 def _cmd_bench(args):
     import bench
     bench.main()
@@ -261,6 +311,21 @@ def main(argv=None):
     p.add_argument("--start", default="-2.0,-2.0,0.5")
     p.add_argument("--max-ticks", type=int, default=300)
 
+    p = sub.add_parser("capture", help="manual RGB-D capture from a scenario")
+    p.add_argument("--scenario", default="cardboard",
+                   choices=["cardboard", "cone", "table_chair"])
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--label", default="Object_0")
+    p.add_argument("--pose", required=True, help="x,y,yaw")
+    p.add_argument("--height", type=float, default=0.3)
+    p.add_argument("--config", default=None)
+
+    p = sub.add_parser("report", help="summary table + bar charts")
+    p.add_argument("--results", required=True,
+                   help='"Name,acc_cm,comp_cm;Name2,acc,comp"')
+    p.add_argument("--plot", default=None)
+    p.add_argument("--vs-reference", action="store_true")
+
     sub.add_parser("bench", help="fusion throughput benchmark")
 
     args = ap.parse_args(argv)
@@ -273,6 +338,8 @@ def main(argv=None):
         "merge-2d": _cmd_merge_2d,
         "eval": _cmd_eval,
         "mission": _cmd_mission,
+        "capture": _cmd_capture,
+        "report": _cmd_report,
         "bench": _cmd_bench,
     }[args.cmd](args)
 

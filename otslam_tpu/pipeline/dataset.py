@@ -114,8 +114,17 @@ class CaptureDataset:
     def save_frame(self, label: str, color_rgb: np.ndarray,
                    depth_m: np.ndarray, pose: np.ndarray) -> int:
         """Append one capture; returns its 1-based frame number. Applies the
-        scanner's save-time depth clipping (NaN -> 0, > depth_max -> 0)."""
-        self._counters[label] = self._counters.get(label, 0) + 1
+        scanner's save-time depth clipping (NaN -> 0, > depth_max -> 0).
+        Numbering resumes after existing files (datasets append across
+        processes)."""
+        if label not in self._counters:
+            existing = [
+                int(os.path.basename(f)[len(label) + 1:-4])
+                for f in glob.glob(
+                    os.path.join(self.color_dir, f"{label}_*.jpg"))
+                if os.path.basename(f)[len(label) + 1:-4].isdigit()]
+            self._counters[label] = max(existing, default=0)
+        self._counters[label] += 1
         n = self._counters[label]
         tio.write_color(os.path.join(self.color_dir, f"{label}_{n}.jpg"),
                         color_rgb)

@@ -52,7 +52,8 @@ def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
     colors = jnp.asarray(colors)
     extrinsics = jnp.asarray(extrinsics)
     if backend == "dense":
-        return integrate_frames(make_volume(cfg.tsdf), depths, colors,
+        dtype = jnp.bfloat16 if cfg.tsdf.use_bfloat16 else jnp.float32
+        return integrate_frames(make_volume(cfg.tsdf, dtype), depths, colors,
                                 extrinsics, intr)
     if backend == "sparse":
         vol = integrate_frames_sparse(make_block_volume(cfg.tsdf), depths,

@@ -52,8 +52,16 @@ class MissionRunner:
                  cfg: OTSLAMConfig | None = None,
                  start_pose=(-2.0, -2.0, 0.0),
                  camera_height: float = 0.3, robot_speed: float = 0.5,
-                 map_resolution: float = 0.05):
+                 map_resolution: float = 0.05,
+                 nav_failure_rate: float = 0.0,
+                 camera_failure_rate: float = 0.0, fault_seed: int = 0):
         self.cfg = cfg or OTSLAMConfig()
+        # fault injection (failure-detection behaviors under test)
+        self.nav_failure_rate = nav_failure_rate
+        self.camera_failure_rate = camera_failure_rate
+        self._fault_rng = np.random.default_rng(fault_seed)
+        self.nav_failures = 0
+        self.camera_failures = 0
         self.scene_world = scene_world
         self.workdir = workdir
         self.intr = PinholeIntrinsics.from_config(self.cfg.camera)
@@ -91,6 +99,10 @@ class MissionRunner:
         self.removed_tracker.set_tracking_mode(enabled)
 
     def _navigate(self, gx: float, gy: float, gyaw: float) -> bool:
+        if self._fault_rng.random() < self.nav_failure_rate:
+            self.nav_failures += 1
+            self.t += 2.0  # failed attempt still costs time
+            return False
         d = float(np.hypot(gx - self.x, gy - self.y))
         self.t += d / self.robot_speed + 1.0
         self.x, self.y, self.yaw = float(gx), float(gy), float(gyaw)
@@ -115,6 +127,9 @@ class MissionRunner:
         return self._optical_pose() @ T_FIX_OPTICAL.T
 
     def _grab_frames(self):
+        if self._fault_rng.random() < self.camera_failure_rate:
+            self.camera_failures += 1
+            return None  # scanner aborts with "Camera Timeout"
         depth, color = render_rgbd(self.scene_world, self._optical_pose(),
                                    self.intr, far=self.cfg.camera.depth_max)
         return np.asarray(color).astype(np.uint8), np.asarray(depth)

@@ -1,0 +1,155 @@
+"""System-level pieces: topic bus assembly, volume checkpointing, fault
+injection, bf16 fusion, capture/report CLI."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from otslam_tpu.adapters.bus import Bus, OTSLAMSystem
+from otslam_tpu.cli import main
+from otslam_tpu.config import (
+    CameraConfig, LidarConfig, OTSLAMConfig, ReconstructionConfig,
+    TSDFConfig, TrackerConfig)
+from otslam_tpu.core.camera import PinholeIntrinsics
+from otslam_tpu.core.volume_io import load_volume, save_volume
+from otslam_tpu.kernels.tsdf import integrate_frames, make_volume
+from otslam_tpu.kernels.tsdf_block import (
+    integrate_frames_sparse, make_block_volume)
+from otslam_tpu.pipeline.reconstruct import fuse_frames
+from otslam_tpu.sim.runner import MissionRunner
+from otslam_tpu.sim.sensors import render_lidar
+from otslam_tpu.sim.world import Box, Scene, cardboard_room
+
+LIDAR = LidarConfig(num_beams=360)
+CAM = CameraConfig(width=160, height=120, fx=141.4002, fy=141.4002,
+                   cx=80.5, cy=60.5)
+
+
+class TestBusSystem:
+    def test_full_topic_flow(self):
+        cfg = OTSLAMConfig(lidar=LIDAR,
+                           tracker=TrackerConfig.update_pipeline_profile())
+        sys_ = OTSLAMSystem(cfg)
+        b = sys_.bus
+        scene_empty = Scene(objects=())
+        scene_box = cardboard_room()
+        b.publish("/virtual_map", scene_empty.occupancy_grid(0.05))
+        angles = sys_.vscanner.angles()
+        pose = (-1.0, -1.0, 0.5)
+        t = 0.0
+        for _ in range(25):
+            t += 0.2
+            real = render_lidar(scene_box, *pose, angles,
+                                LIDAR.range_min, LIDAR.range_max)
+            b.publish("/odom", (pose[0], pose[1]))
+            b.publish("/scan", {"ranges": real, "angles": angles,
+                                "pose": pose, "stamp": t})
+        # topics carried data end-to-end
+        assert len(b.last["/added_objects"]) > 0
+        assert len(b.last["/object_visiting_points"]) > 0
+        goal = sys_.control_step()
+        assert goal is not None
+        assert b.last["/manager/target_pose"] is goal
+        # freeze service
+        res = b.call("set_tracking_mode", False)
+        assert res["success"] and not sys_.tracker.tracking_enabled
+
+
+class TestVolumeIO:
+    def test_dense_roundtrip(self, tmp_path):
+        cfg = TSDFConfig(dims=(32, 32, 32), origin=(-0.32, -0.32, -0.32),
+                         voxel_size=0.02, sdf_trunc=0.08)
+        intr = PinholeIntrinsics(64, 48, 56.0, 56.0, 32.0, 24.0)
+        d = jnp.full((1, 48, 64), 0.4503, jnp.float32)
+        c = jnp.full((1, 48, 64, 3), 99.0, jnp.float32)
+        e = jnp.eye(4)[None]
+        vol = integrate_frames(make_volume(cfg), d, c, e, intr)
+        p = str(tmp_path / "vol.npz")
+        save_volume(p, vol)
+        back = load_volume(p)
+        np.testing.assert_array_equal(np.asarray(back.tsdf),
+                                      np.asarray(vol.tsdf))
+        assert back.voxel_size == vol.voxel_size
+
+        # resume: integrating another frame into the loaded volume works
+        vol2 = integrate_frames(back, d, c, e, intr)
+        assert float(vol2.weight.max()) == 2.0
+
+    def test_block_roundtrip(self, tmp_path):
+        cfg = TSDFConfig(dims=(32, 32, 32), origin=(-0.32, -0.32, -0.32),
+                         voxel_size=0.02, sdf_trunc=0.08)
+        intr = PinholeIntrinsics(64, 48, 56.0, 56.0, 32.0, 24.0)
+        d = jnp.full((1, 48, 64), 0.4503, jnp.float32)
+        c = jnp.full((1, 48, 64, 3), 99.0, jnp.float32)
+        e = jnp.eye(4)[None]
+        vol = integrate_frames_sparse(make_block_volume(cfg), d, c, e, intr,
+                                      max_active=64)
+        p = str(tmp_path / "bvol.npz")
+        save_volume(p, vol)
+        back = load_volume(p)
+        np.testing.assert_array_equal(np.asarray(back.created),
+                                      np.asarray(vol.created))
+        assert back.grid_blocks == vol.grid_blocks
+
+
+class TestFaultInjection:
+    def test_mission_survives_failures(self, tmp_path):
+        cfg = OTSLAMConfig(camera=CAM, lidar=LIDAR,
+                           tracker=TrackerConfig.update_pipeline_profile())
+        runner = MissionRunner(
+            Scene(objects=()), cardboard_room(), str(tmp_path), cfg,
+            start_pose=(-2.0, -2.0, 0.5),
+            nav_failure_rate=0.3, camera_failure_rate=0.2, fault_seed=7)
+        s = runner.run(max_ticks=400)
+        assert runner.nav_failures + runner.camera_failures > 0
+        # the retry logic still completes the mission set
+        assert s.missions_completed >= 3
+        assert s.frames_captured >= 3
+        assert runner.sender.pending_count() == 0
+
+
+class TestBf16:
+    def test_bf16_dense_close_to_f32(self):
+        intr = PinholeIntrinsics(64, 48, 56.0, 56.0, 32.0, 24.0)
+        tsdf = TSDFConfig(dims=(32, 32, 32), origin=(-0.32, -0.32, 0.2),
+                          voxel_size=0.02, sdf_trunc=0.08)
+        d = np.full((2, 48, 64), 0.4503, np.float32)
+        c = np.full((2, 48, 64, 3), 99.0, np.float32)
+        e = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        v32 = fuse_frames(d, c, e, intr,
+                          ReconstructionConfig(tsdf=tsdf), "dense")
+        v16 = fuse_frames(d, c, e, intr,
+                          ReconstructionConfig(
+                              tsdf=TSDFConfig(**{**tsdf.__dict__,
+                                                 "use_bfloat16": True})),
+                          "dense")
+        m = np.asarray(v32.weight) > 0
+        diff = np.abs(np.asarray(v16.tsdf, np.float32)[m]
+                      - np.asarray(v32.tsdf)[m])
+        assert diff.max() < 0.01  # < 0.4 mm at 4 cm truncation
+
+
+class TestNewCLI:
+    def test_capture_and_reconstructable(self, tmp_path, capsys):
+        cfgp = str(tmp_path / "cfg.json")
+        with open(cfgp, "w") as f:
+            f.write(OTSLAMConfig(camera=CAM).to_json())
+        for i, ang in enumerate(np.linspace(0, 2 * np.pi, 6, endpoint=False)):
+            x = 1.5 + 1.2 * np.cos(ang)
+            y = 0.5 + 1.2 * np.sin(ang)
+            yaw = ang + np.pi
+            main(["capture", "--scenario", "cardboard",
+                  "--workdir", str(tmp_path / "ds"),
+                  "--pose", f"{x},{y},{yaw}", "--config", cfgp])
+        from otslam_tpu.pipeline.dataset import CaptureDataset
+        ds = CaptureDataset(str(tmp_path / "ds"), CAM)
+        assert len(ds.frame_files("Object_0")) == 6
+
+    def test_report(self, tmp_path, capsys):
+        main(["report", "--results", "Cardboard Box,0.5,0.7;Cone,0.4,0.6",
+              "--plot", str(tmp_path / "r.png"), "--vs-reference"])
+        out = capsys.readouterr().out
+        assert "Cardboard Box" in out
+        assert os.path.getsize(str(tmp_path / "r.png")) > 1000
