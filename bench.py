@@ -75,7 +75,7 @@ def main():
     r = run()
     _ = np.asarray(r[:2, 0])
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         r = run()
         _ = np.asarray(r[:2, 0])
