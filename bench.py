@@ -51,19 +51,21 @@ def main():
     from otslam_tpu.config import TSDFConfig
     from otslam_tpu.core.camera import PinholeIntrinsics
     from otslam_tpu.kernels.tsdf_block import make_block_volume
-    from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
+    from otslam_tpu.kernels.tsdf_pallas import (auto_max_active,
+                                                integrate_frames_pallas)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     intr = PinholeIntrinsics(width=640, height=480, fx=565.6009, fy=565.6009,
                              cx=320.5, cy=240.5)
     cfg = TSDFConfig()  # 256^3 @ 1 cm, trunc 4 cm (reference parameters)
     n = 64 if on_tpu else 4
-    max_active = 1024
 
     d, c, e = _make_frames(intr, n)
     depths = jnp.asarray(d)
     colors = jnp.asarray(c)
     exts = jnp.asarray(e)
+    # capacity sized to the workload (exact bound from the activity pass)
+    max_active = auto_max_active(make_block_volume(cfg), depths, exts, intr)
 
     def run():
         vol = integrate_frames_pallas(

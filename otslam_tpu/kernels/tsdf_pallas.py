@@ -133,14 +133,17 @@ def _make_kernel(intr: PinholeIntrinsics, grid_blocks: Tuple[int, int, int],
                 dhi = dp.astype(jnp.bfloat16)
                 dlo = (dp - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
                 dims = (((1,), (1,)), ((), ()))
-                Md = (jax.lax.dot_general(dhi, ou, dims,
-                                          preferred_element_type=jnp.float32)
-                      + jax.lax.dot_general(dlo, ou, dims,
-                                            preferred_element_type=jnp.float32))
+                # hi/lo stacked on the M dim: one matmul, summed by a
+                # duplicated row-selector
+                d2 = jnp.concatenate([dhi, dlo], axis=0)            # (2PR, win)
+                M2 = jax.lax.dot_general(d2, ou, dims,
+                                         preferred_element_type=jnp.float32)
                 iota_pr = jax.lax.broadcasted_iota(
-                    jnp.int32, (patch_rows, BLOCK_VOXELS), 0)
-                ovT = ((v_r - pvf) == iota_pr).astype(jnp.float32)  # (PR, 512)
-                d = jnp.sum(Md * ovT, axis=0, keepdims=True)        # (1, 512)
+                    jnp.int32, (2 * patch_rows, BLOCK_VOXELS), 0)
+                ovT2 = (((v_r - pvf) == iota_pr)
+                        | ((v_r - pvf + patch_rows) == iota_pr)
+                        ).astype(jnp.float32)                       # (2PR, 512)
+                d = jnp.sum(M2 * ovT2, axis=0, keepdims=True)       # (1, 512)
 
                 # --- color selection from the half-res bf16 pyramid ---
                 iota_w2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOXELS, W2), 1)
@@ -231,6 +234,31 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, depth, chalf,
         input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
     )(ids, pvf, pvh, puf, evec, tsdf_rows, w_rows, col_rows, depth, chalf)
+
+
+@functools.partial(jax.jit, static_argnames=("intr",))
+def _max_active_needed(vol: BlockTSDFVolume, depths, extrinsics,
+                       intr: PinholeIntrinsics):
+    """Exact upper bound on the per-frame active-block count for a batch:
+    replays the creation recurrence (created |= band; active = created &
+    visible) with a cumulative OR — one cheap batched dispatch."""
+    nb = vol.num_blocks
+    band_all, visible_all = jax.vmap(
+        lambda d, e: _active_blocks(vol, d, e, intr))(depths, extrinsics)
+    created_cum = jax.lax.associative_scan(jnp.logical_or, band_all, axis=0)
+    created_cum = created_cum | vol.created[:nb][None]
+    counts = jnp.sum(created_cum & visible_all, axis=1)
+    return jnp.max(counts)
+
+
+def auto_max_active(vol: BlockTSDFVolume, depths, extrinsics,
+                    intr: PinholeIntrinsics, bucket: int = 128) -> int:
+    """Static capacity for integrate_frames_pallas, rounded up to `bucket`
+    (larger buckets = fewer recompiles across batches)."""
+    n = int(_max_active_needed(vol, jnp.asarray(depths),
+                               jnp.asarray(extrinsics), intr))
+    n = max(n, BPG)
+    return -(-n // bucket) * bucket
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "max_active", "interpret"),

@@ -46,8 +46,12 @@ class ReconstructionResult:
 
 def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
                 cfg: ReconstructionConfig, backend: str = "pallas",
-                max_active: int = 2048):
-    """Fuse a stacked frame batch into a dense TSDFVolume."""
+                max_active: int | None = None):
+    """Fuse a stacked frame batch into a dense TSDFVolume.
+
+    max_active=None sizes the active-block capacity to the batch (exact
+    bound from the activity precompute, bucketed to limit recompiles).
+    """
     depths = jnp.asarray(depths)
     colors = jnp.asarray(colors)
     extrinsics = jnp.asarray(extrinsics)
@@ -55,14 +59,16 @@ def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
         dtype = jnp.bfloat16 if cfg.tsdf.use_bfloat16 else jnp.float32
         return integrate_frames(make_volume(cfg.tsdf, dtype), depths, colors,
                                 extrinsics, intr)
+    start = make_block_volume(cfg.tsdf)
+    if max_active is None:
+        from otslam_tpu.kernels.tsdf_pallas import auto_max_active
+        max_active = auto_max_active(start, depths, extrinsics, intr)
     if backend == "sparse":
-        vol = integrate_frames_sparse(make_block_volume(cfg.tsdf), depths,
-                                      colors, extrinsics, intr,
-                                      max_active=max_active)
+        vol = integrate_frames_sparse(start, depths, colors, extrinsics,
+                                      intr, max_active=max_active)
     elif backend == "pallas":
-        vol = integrate_frames_pallas(make_block_volume(cfg.tsdf), depths,
-                                      colors, extrinsics, intr,
-                                      max_active=max_active)
+        vol = integrate_frames_pallas(start, depths, colors, extrinsics,
+                                      intr, max_active=max_active)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return block_to_dense(vol)
