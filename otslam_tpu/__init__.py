@@ -20,4 +20,14 @@ Layer map (mirrors SURVEY.md):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU MXU f32 matmuls round inputs to bf16 by default — a ~0.4% relative
+# error that silently corrupts SE(3) compositions, point transforms, and
+# least-squares solves (measured: 3e-3 rad rotation floor in ICP). Geometry
+# here is precision-critical and the small-K matmuls gain nothing from bf16,
+# so default to full precision; hot kernels that *want* bf16 cast their
+# inputs explicitly and are unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from otslam_tpu.config import OTSLAMConfig  # noqa: F401

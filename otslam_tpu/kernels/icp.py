@@ -38,7 +38,11 @@ def _umeyama_rt(src_pts, dst_pts, weights):
     cq = jnp.sum(dst_pts * weights[:, None], axis=0) / wsum
     sp = src_pts - cp
     sq = dst_pts - cq
-    H = (sp * weights[:, None]).T @ sq  # (3,3)
+    # full precision: the TPU MXU's default bf16 input rounding floors the
+    # achievable alignment at ~3e-3 rad otherwise
+    H = jax.lax.dot_general((sp * weights[:, None]), sq,
+                            (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)  # (3,3)
     U, S, Vt = jnp.linalg.svd(H)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
@@ -74,27 +78,28 @@ def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
         return d, idx, inlier, fitness, rmse
 
     def cond(state):
-        T, fit, rmse, prev_fit, prev_rmse, it = state
+        T, idx, inlier, fit, rmse, prev_fit, prev_rmse, it = state
         keep = ((jnp.abs(prev_fit - fit) > relative_fitness)
                 | (jnp.abs(prev_rmse - rmse) > relative_rmse))
         return (it < max_iterations) & ((it < 2) | keep)
 
     def body(state):
-        T, fit, rmse, _, _, it = state
+        # one NN pass per iteration: solve with the carried correspondences,
+        # then evaluate the new pose (whose correspondences carry forward)
+        T, idx, inlier, fit, rmse, _, _, it = state
         p = src @ T[:3, :3].T + T[:3, 3]
-        d, idx, inlier, _, _ = metrics(T)
         q = jnp.take(dst, idx, axis=0)
         w = inlier.astype(jnp.float32)
         R, t = _umeyama_rt(p, q, w)
         dT = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t)
-        T_new = dT @ T
-        _, _, _, fit_new, rmse_new = metrics(T_new)
-        return (T_new.astype(jnp.float32), fit_new, rmse_new, fit, rmse, it + 1)
+        T_new = (dT @ T).astype(jnp.float32)
+        _, idx_new, inl_new, fit_new, rmse_new = metrics(T_new)
+        return (T_new, idx_new, inl_new, fit_new, rmse_new, fit, rmse, it + 1)
 
-    _, _, _, fit0, rmse0 = metrics(T0)
-    state = (T0, fit0, rmse0, jnp.float32(-1.0), jnp.float32(-1.0),
-             jnp.int32(0))
-    T, fit, rmse, _, _, it = jax.lax.while_loop(cond, body, state)
+    _, idx0, inl0, fit0, rmse0 = metrics(T0)
+    state = (T0, idx0, inl0, fit0, rmse0, jnp.float32(-1.0),
+             jnp.float32(-1.0), jnp.int32(0))
+    T, _, _, fit, rmse, _, _, it = jax.lax.while_loop(cond, body, state)
     return ICPResult(T, fit, rmse, it)
 
 
@@ -129,8 +134,12 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
         r = jnp.sum((p - q) * nrm, axis=-1)          # signed plane residual
         c = jnp.cross(p, nrm)                        # rotation jacobian
         J = jnp.concatenate([c, nrm], axis=-1)       # (N, 6)
-        A = (J * w[:, None]).T @ J + 1e-9 * jnp.eye(6)
-        b = -(J * w[:, None]).T @ r
+        hi = jax.lax.Precision.HIGHEST
+        Jw = J * w[:, None]
+        A = jax.lax.dot_general(Jw, J, (((0,), (0,)), ((), ())),
+                                precision=hi) + 1e-9 * jnp.eye(6)
+        b = -jax.lax.dot_general(Jw, r, (((0,), (0,)), ((), ())),
+                                 precision=hi)
         x = jnp.linalg.solve(A, b)                   # (wx, wy, wz, tx, ty, tz)
         wx, wy, wz, tx, ty, tz = x
         R = jnp.array([
@@ -146,23 +155,23 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
             jnp.array([tx, ty, tz]))
 
     def cond(state):
-        T, fit, rmse, prev_fit, prev_rmse, it = state
+        T, idx, inlier, fit, rmse, prev_fit, prev_rmse, it = state
         keep = ((jnp.abs(prev_fit - fit) > relative_fitness)
                 | (jnp.abs(prev_rmse - rmse) > relative_rmse))
         return (it < max_iterations) & ((it < 2) | keep)
 
     def body(state):
-        T, fit, rmse, _, _, it = state
-        p, idx, inlier, _, _ = metrics(T)
+        T, idx, inlier, fit, rmse, _, _, it = state
+        p = src @ T[:3, :3].T + T[:3, 3]
         q = jnp.take(dst, idx, axis=0)
         nrm = jnp.take(dst_normals, idx, axis=0)
         dT = solve(p, q, nrm, inlier.astype(jnp.float32))
         T_new = (dT @ T).astype(jnp.float32)
-        _, _, _, fit_new, rmse_new = metrics(T_new)
-        return (T_new, fit_new, rmse_new, fit, rmse, it + 1)
+        p2, idx_new, inl_new, fit_new, rmse_new = metrics(T_new)
+        return (T_new, idx_new, inl_new, fit_new, rmse_new, fit, rmse, it + 1)
 
-    _, _, _, fit0, rmse0 = metrics(T0)
-    state = (T0, fit0, rmse0, jnp.float32(-1.0), jnp.float32(-1.0),
-             jnp.int32(0))
-    T, fit, rmse, _, _, it = jax.lax.while_loop(cond, body, state)
+    p0, idx0, inl0, fit0, rmse0 = metrics(T0)
+    state = (T0, idx0, inl0, fit0, rmse0, jnp.float32(-1.0),
+             jnp.float32(-1.0), jnp.int32(0))
+    T, _, _, fit, rmse, _, _, it = jax.lax.while_loop(cond, body, state)
     return ICPResult(T, fit, rmse, it)

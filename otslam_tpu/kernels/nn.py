@@ -47,7 +47,12 @@ def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
         best_d, best_i = carry
         d_chunk, m_chunk, base = inputs
         d2 = jnp.sum(d_chunk * d_chunk, axis=-1)  # (chunk,)
-        cross = src @ d_chunk.T                   # (N, chunk) on the MXU
+        # full-precision cross term: TPU MXU matmuls round to bf16 by
+        # default, which corrupts argmin selection once point spacing is
+        # finer than ~0.4% of coordinate magnitude
+        cross = jax.lax.dot_general(
+            src, d_chunk, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # (N, chunk) on the MXU
         dist2 = s2[:, None] + d2[None, :] - 2.0 * cross
         dist2 = jnp.where(m_chunk[None, :], dist2, _BIG)
         cmin = jnp.min(dist2, axis=1)

@@ -136,8 +136,11 @@ def _make_kernel(intr: PinholeIntrinsics, grid_blocks: Tuple[int, int, int],
                 # hi/lo stacked on the M dim: one matmul, summed by a
                 # duplicated row-selector
                 d2 = jnp.concatenate([dhi, dlo], axis=0)            # (2PR, win)
+                # explicit DEFAULT precision: inputs are already bf16 (the
+                # package-global 'highest' would make Mosaic reject the dot)
                 M2 = jax.lax.dot_general(d2, ou, dims,
-                                         preferred_element_type=jnp.float32)
+                                         preferred_element_type=jnp.float32,
+                                         precision=jax.lax.Precision.DEFAULT)
                 iota_pr = jax.lax.broadcasted_iota(
                     jnp.int32, (2 * patch_rows, BLOCK_VOXELS), 0)
                 ovT2 = (((v_r - pvf) == iota_pr)
@@ -157,7 +160,8 @@ def _make_kernel(intr: PinholeIntrinsics, grid_blocks: Tuple[int, int, int],
                      for c in range(3)], axis=0)                    # (3*PRh, W2)
                 Mc3 = jax.lax.dot_general(
                     cp3, ouh, dims,
-                    preferred_element_type=jnp.float32)             # (3*PRh, 512)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)            # (3*PRh, 512)
                 csel = [jnp.sum(Mc3[c * patch_rows_half:(c + 1) * patch_rows_half]
                                 * ovhT, axis=0, keepdims=True)
                         for c in range(3)]
