@@ -41,6 +41,8 @@ def _add_reconstruct(sub):
                         "(reconstruct_rgbd_gt.py T_fix variant)")
     p.add_argument("--ranges", default=None,
                    help='explicit frame ranges, e.g. "Object_0:1-16,Object_1:2-9"')
+    p.add_argument("--auto-origin", action="store_true",
+                   help="center each object's volume on its observed geometry")
     p.add_argument("--config", default=None, help="config JSON file")
 
 
@@ -57,7 +59,8 @@ def _cmd_reconstruct(args):
     save_dir = args.save_dir or os.path.join(args.dataset, "3d_reconst")
     kw = dict(cfg=cfg.reconstruction, backend=args.backend,
               save_dir=save_dir, z_filter=not args.no_z_filter,
-              output="mesh" if args.mesh else "cloud")
+              output="mesh" if args.mesh else "cloud",
+              auto_origin=args.auto_origin)
     if args.ranges:
         ranges = {}
         for part in args.ranges.split(","):

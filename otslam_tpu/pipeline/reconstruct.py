@@ -35,6 +35,41 @@ from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
 from otslam_tpu.pipeline.dataset import CaptureDataset
 
 
+def auto_volume_origin(batch, intr: PinholeIntrinsics,
+                       cfg: ReconstructionConfig) -> tuple:
+    """Center the object volume on the observed geometry.
+
+    Open3D's ScalableTSDFVolume is extent-free (hash map); our dense block
+    grid needs an origin. Estimate the object center by back-projecting a
+    sparse pixel subset of every frame into world space and averaging, then
+    place the grid so the center sits mid-volume (z aligned to start just
+    below the floor).
+    """
+    import numpy as _np
+    stride = 8
+    centers = []
+    for i in range(batch.depths.shape[0]):
+        d = batch.depths[i, ::stride, ::stride]
+        ok = d > 0
+        if not ok.any():
+            continue
+        ys, xs = _np.nonzero(ok)
+        z = d[ys, xs]
+        u = xs * stride
+        v = ys * stride
+        x = (u - intr.cx) / intr.fx * z
+        y = (v - intr.cy) / intr.fy * z
+        cam = _np.stack([x, y, z, _np.ones_like(z)])
+        world = _np.linalg.inv(batch.extrinsics[i].astype(_np.float64)) @ cam
+        centers.append(world[:3].mean(axis=1))
+    c = _np.mean(centers, axis=0)
+    X, Y, Z = cfg.tsdf.dims
+    vs = cfg.tsdf.voxel_size
+    origin = (float(c[0] - X * vs / 2), float(c[1] - Y * vs / 2),
+              float(min(c[2] - Z * vs / 2, -0.02)))
+    return origin
+
+
 @dataclass
 class ReconstructionResult:
     points: np.ndarray          # (M, 3) surface points (filtered, sampled)
@@ -108,16 +143,23 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
                        backend: str = "pallas", save_dir: str | None = None,
                        z_filter: bool = True, seed: int = 0,
                        frame_numbers: Sequence[int] | None = None,
-                       output: str = "cloud") -> ReconstructionResult:
+                       output: str = "cloud",
+                       auto_origin: bool = False) -> ReconstructionResult:
     """Full per-object pipeline; writes <save_dir>/<obj_name>.ply if asked.
 
     output='cloud': filtered sampled point cloud (reconstruct_rgbd_filter.py);
     output='mesh': welded triangle mesh with vertex normals
     (reconstruct_rgbd.py's extract_triangle_mesh + compute_vertex_normals).
+    auto_origin=True centers the volume on the observed geometry per object.
     """
+    import dataclasses as _dc
+
     cfg = cfg or ReconstructionConfig()
     batch = ds.load_object(obj_name, frame_numbers)
     intr = PinholeIntrinsics.from_config(ds.camera)
+    if auto_origin:
+        origin = auto_volume_origin(batch, intr, cfg)
+        cfg = _dc.replace(cfg, tsdf=_dc.replace(cfg.tsdf, origin=origin))
     vol = fuse_frames(batch.depths, batch.colors, batch.extrinsics, intr,
                       cfg, backend)
     if output == "mesh":
