@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 import numpy as np
 
@@ -206,7 +205,7 @@ def _cmd_capture(args):
     to a dataset."""
     from otslam_tpu.config import OTSLAMConfig
     from otslam_tpu.core.camera import PinholeIntrinsics
-    from otslam_tpu.core.se3 import T_FIX_GT, se3, yaw_to_matrix2d
+    from otslam_tpu.core.se3 import T_FIX_GT, se3
     from otslam_tpu.pipeline.dataset import CaptureDataset
     from otslam_tpu.core.se3 import T_FIX_OPTICAL
     from otslam_tpu.sim.sensors import render_rgbd

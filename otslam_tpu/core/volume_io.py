@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from otslam_tpu.kernels.tsdf import TSDFVolume
-from otslam_tpu.kernels.tsdf_block import BLOCK_VOXELS, BlockTSDFVolume
+from otslam_tpu.kernels.tsdf_block import BlockTSDFVolume
 
 
 def save_volume(path: str, vol) -> None:

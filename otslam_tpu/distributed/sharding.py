@@ -20,11 +20,10 @@ psums riding ICI.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from otslam_tpu.config import TSDFConfig
 from otslam_tpu.core.camera import PinholeIntrinsics

@@ -19,8 +19,7 @@ simulator, a real Nav2 bridge, or test doubles identically:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

@@ -18,10 +18,9 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
-import jax.numpy as jnp
 
 from otslam_tpu.config import OTSLAMConfig
 from otslam_tpu.core.camera import PinholeIntrinsics

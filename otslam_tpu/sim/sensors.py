@@ -12,9 +12,6 @@ sensor plane; both saturate to 0 / +inf outside [near, far].
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

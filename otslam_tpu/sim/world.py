@@ -12,8 +12,8 @@ a few objects (cardboard box, table + chairs, cones).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 
