@@ -291,22 +291,21 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                  .reshape(depths.shape[0], 3 * (H // 2), W2)
                  .astype(jnp.bfloat16))
 
-    # per-frame block activity precomputed for the whole batch (no carry deps)
+    # the creation recurrence is independent of integration, so EVERYTHING
+    # per-frame except the volume update itself precomputes batched outside
+    # the scan: activity, created evolution (cumulative OR), active-id
+    # compaction, and the per-block patch starts
     dummy = BlockTSDFVolume(vol.tsdf, vol.weight, vol.color, vol.created,
                             vol.origin, vol.voxel_size, vol.sdf_trunc,
                             vol.grid_blocks)
     band_all, visible_all = jax.vmap(
         lambda d, e: _active_blocks(dummy, d, e, intr))(depths, extrinsics)
+    created_all = jax.lax.associative_scan(jnp.logical_or, band_all, axis=0)
+    created_all = created_all | vol.created[:nb][None]
+    active_all = created_all & visible_all
+    ids_all = jax.vmap(lambda a: compact_ids(a, max_active, nb))(active_all)
 
-    def step(carry, frame):
-        tsdf, weight, color, created = carry
-        depth, chalf, extrinsic, band, visible = frame
-        created_new = created.at[:nb].set(created[:nb] | band)
-        active = created_new[:nb] & visible
-        ids = compact_ids(active, max_active, nb)
-
-        # per-active-block patch starts from the projected block center
-        E = extrinsic.astype(jnp.float32)
+    def starts(E, ids):
         bcx = jnp.take(cx_b, jnp.minimum(ids, nb - 1))
         bcy = jnp.take(cy_b, jnp.minimum(ids, nb - 1))
         bcz = jnp.take(cz_b, jnp.minimum(ids, nb - 1))
@@ -316,30 +315,37 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
         zs = jnp.where(pz > 0, pz, 1.0)
         uc = intr.fx * px / zs + intr.cx
         vc = intr.fy * py / zs + intr.cy
-        # starts rounded down to sublane multiples of 8 / lane multiples of 128
+        # rounded down to sublane multiples of 8 / lane multiples of 128
         pvf = jnp.clip(jnp.round(vc).astype(jnp.int32) - patch_rows // 2,
                        0, H - patch_rows) & ~7
-        pvh = jnp.clip(jnp.round(vc / 2).astype(jnp.int32) - patch_rows_half // 2,
+        pvh = jnp.clip(jnp.round(vc / 2).astype(jnp.int32)
+                       - patch_rows_half // 2,
                        0, H // 2 - patch_rows_half) & ~7
-        puf = jnp.clip((jnp.round(uc).astype(jnp.int32) - win // 2 + 64) & ~127,
-                       0, W - win)
-        evec = E[:3, :].reshape(12)
+        puf = jnp.clip((jnp.round(uc).astype(jnp.int32) - win // 2 + 64)
+                       & ~127, 0, W - win)
+        return pvf, pvh, puf
 
+    E_all = extrinsics.astype(jnp.float32)
+    pvf_all, pvh_all, puf_all = jax.vmap(starts)(E_all, ids_all)
+    evec_all = E_all[:, :3, :].reshape(-1, 12)
+
+    def step(carry, frame):
+        tsdf, weight, color = carry
+        depth, chalf, ids, pvf, pvh, puf, evec = frame
         t_rows = jnp.take(tsdf, ids, axis=0)
         w_rows = jnp.take(weight, ids, axis=0)
         c_rows = jnp.take(color, ids, axis=0)
-
         t_new, w_new, c_new = _update_active_blocks(
             t_rows, w_rows, c_rows, depth, chalf, ids, pvf, pvh, puf, evec,
             intr, vol_meta, interpret)
-
         tsdf = tsdf.at[ids].set(t_new, unique_indices=True)
         weight = weight.at[ids].set(w_new, unique_indices=True)
         color = color.at[ids].set(c_new, unique_indices=True)
-        return (tsdf, weight, color, created_new), None
+        return (tsdf, weight, color), None
 
-    init = (vol.tsdf, vol.weight, vol.color, vol.created)
-    (tsdf, weight, color, created), _ = jax.lax.scan(
-        step, init, (depths, chalf_all, extrinsics, band_all, visible_all))
+    (tsdf, weight, color), _ = jax.lax.scan(
+        step, (vol.tsdf, vol.weight, vol.color),
+        (depths, chalf_all, ids_all, pvf_all, pvh_all, puf_all, evec_all))
+    created = vol.created.at[:nb].set(created_all[-1])
     return BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
                            vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)
