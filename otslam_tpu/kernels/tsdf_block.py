@@ -366,3 +366,122 @@ def dense_to_block(dense: TSDFVolume, cfg: TSDFConfig) -> BlockTSDFVolume:
     created = vol.created.at[:-1].set(jnp.any(collapse(dense.weight) > 0, axis=1))
     return BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
                            vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)
+
+
+# ---------------------------------------------------------------------------
+# sparse surface extraction (created blocks only — no densification)
+# ---------------------------------------------------------------------------
+
+def _neighbor_block_ids(vol: BlockTSDFVolume, ids: jnp.ndarray):
+    """Per axis, the +1-neighbor block id of each id (dead row when at the
+    grid boundary or for padding ids)."""
+    bx, by, bz = vol.grid_blocks
+    nb = bx * by * bz
+    ix = ids // (by * bz)
+    iy = (ids // bz) % by
+    iz = ids % bz
+    ok = ids < nb
+    nx = jnp.where(ok & (ix < bx - 1), ids + by * bz, nb)
+    ny = jnp.where(ok & (iy < by - 1), ids + bz, nb)
+    nz = jnp.where(ok & (iz < bz - 1), ids + 1, nb)
+    return nx, ny, nz
+
+
+def _shift_in(self_vals, nbr_vals, axis):
+    """Shift block-local voxels by +1 along an axis, pulling the first slice
+    of the +1-neighbor block in at the boundary. vals: (C, 8, 8, 8)."""
+    if axis == 0:
+        return jnp.concatenate([self_vals[:, 1:], nbr_vals[:, :1]], axis=1)
+    if axis == 1:
+        return jnp.concatenate([self_vals[:, :, 1:], nbr_vals[:, :, :1]],
+                               axis=2)
+    return jnp.concatenate([self_vals[:, :, :, 1:], nbr_vals[:, :, :, :1]],
+                           axis=3)
+
+
+@partial(jax.jit, static_argnames=("capacity", "max_blocks", "with_normals"))
+def extract_surface_points_sparse(vol: BlockTSDFVolume,
+                                  capacity: int = 1_000_000,
+                                  max_blocks: int = 8192,
+                                  with_normals: bool = False):
+    """TSDF zero-crossing extraction directly from the block volume.
+
+    Touches only created blocks (plus their +axis neighbor rows), so the cost
+    scales with the surface, not the grid — no densification, no grid-sized
+    compaction. Semantics match kernels/tsdf.extract_surface_points.
+
+    Returns (points (C,3), colors (C,3) [0,1], mask (C,), [normals]).
+    """
+    nb = vol.num_blocks
+    bx, by, bz = vol.grid_blocks
+    ids = compact_ids(vol.created[:nb], max_blocks, nb)     # (M,)
+    M = max_blocks
+    V = BLOCK_VOXELS
+
+    def rows4(arr, sel):
+        return jnp.take(arr, sel, axis=0).reshape(M, BLOCK, BLOCK, BLOCK)
+
+    nxi, nyi, nzi = _neighbor_block_ids(vol, ids)
+    t_s = rows4(vol.tsdf, ids)
+    w_s = rows4(vol.weight, ids)
+    t_n = [rows4(vol.tsdf, n) for n in (nxi, nyi, nzi)]
+    w_n = [rows4(vol.weight, n) for n in (nxi, nyi, nzi)]
+    t_b = jnp.stack([_shift_in(t_s, t_n[a], a) for a in range(3)])  # (3,M,8,8,8)
+    w_b = jnp.stack([_shift_in(w_s, w_n[a], a) for a in range(3)])
+
+    cross = (w_s[None] > 0) & (w_b > 0) & (t_s[None] * t_b < 0)     # (3,M,...)
+    flat_mask = cross.reshape(-1)
+    count = jnp.sum(flat_mask, dtype=jnp.int32)
+    (sel,) = jnp.nonzero(flat_mask, size=capacity, fill_value=0)
+    out_mask = jnp.arange(capacity) < count
+
+    axis = sel // (M * V)
+    ci = (sel // V) % M
+    l = sel % V
+    lx = l // (BLOCK * BLOCK)
+    ly = (l // BLOCK) % BLOCK
+    lz = l % BLOCK
+
+    bid = jnp.take(ids, ci)
+    ix = bid // (by * bz)
+    iy = (bid // bz) % by
+    iz = bid % bz
+    f32 = jnp.float32
+    base = jnp.stack([
+        vol.origin[0] + ((ix * BLOCK + lx).astype(f32) + 0.5) * vol.voxel_size,
+        vol.origin[1] + ((iy * BLOCK + ly).astype(f32) + 0.5) * vol.voxel_size,
+        vol.origin[2] + ((iz * BLOCK + lz).astype(f32) + 0.5) * vol.voxel_size,
+    ], axis=-1)
+
+    flat_sv = ci * V + l
+    a = jnp.take(t_s.reshape(-1), flat_sv)
+    b = jnp.take(t_b.reshape(-1), sel)
+    denom = a - b
+    frac = jnp.clip(a / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0), 0.0, 1.0)
+    offset = jax.nn.one_hot(axis, 3, dtype=f32) * (frac * vol.voxel_size)[:, None]
+    points = base + offset
+
+    # colors: lerp channel-major flat rows (self and shifted neighbor)
+    cols_a, cols_b = [], []
+    for c in range(3):
+        ch = vol.color[:, c * V:(c + 1) * V]
+        c_s = rows4(ch, ids)
+        c_bn = jnp.stack([_shift_in(c_s, rows4(ch, n), a_)
+                          for a_, n in enumerate((nxi, nyi, nzi))])
+        cols_a.append(jnp.take(c_s.reshape(-1), flat_sv))
+        cols_b.append(jnp.take(c_bn.reshape(-1), sel))
+    ca = jnp.stack(cols_a, axis=-1)
+    cb = jnp.stack(cols_b, axis=-1)
+    colors = jnp.clip((ca * (1.0 - frac[:, None]) + cb * frac[:, None]) / 255.0,
+                      0.0, 1.0)
+
+    if not with_normals:
+        return points, colors, out_mask
+
+    # forward-difference gradient at the base voxel from the shifted fields
+    grad = t_b - t_s[None]                                   # (3, M, 8,8,8)
+    g = jnp.stack([jnp.take(grad[k].reshape(-1), flat_sv) for k in range(3)],
+                  axis=-1)
+    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    normals = g / jnp.where(norm > 1e-12, norm, 1.0)
+    return points, colors, out_mask, normals

@@ -1,0 +1,75 @@
+"""2D scan-to-map localization.
+
+The reference obtains map-frame poses from slam_toolbox's TF (external).
+This module closes that gap natively: a LiDAR scan registers against the
+occupancy map's occupied cells with planar ICP (the same MXU correspondence
+kernel as the eval path), refining an odometry prior into a map-frame pose.
+
+Planar trick: scan returns and map cell centers embed at z=0 and run through
+the 3D point-to-point ICP; the solved transform is then projected back to
+(x, y, yaw). Works for the small per-step corrections of a localization loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from otslam_tpu.core.grid import OccupancyGrid2D
+from otslam_tpu.kernels.icp import icp_point_to_point
+
+
+@dataclass
+class LocalizationResult:
+    x: float
+    y: float
+    yaw: float
+    fitness: float
+    inlier_rmse: float
+
+
+class ScanLocalizer:
+    def __init__(self, grid: OccupancyGrid2D, max_map_points: int = 20000,
+                 threshold: float = 0.3):
+        # occupied_world_points returns cell *origins* (the hybrid-map pixel
+        # convention); registration wants cell centers
+        pts2 = grid.occupied_world_points() + grid.resolution / 2.0
+        if len(pts2) > max_map_points:
+            sel = np.random.default_rng(0).choice(len(pts2), max_map_points,
+                                                  replace=False)
+            pts2 = pts2[sel]
+        self._map3 = jnp.asarray(
+            np.concatenate([pts2, np.zeros((len(pts2), 1))], -1)
+            .astype(np.float32))
+        self.threshold = threshold
+
+    def localize(self, ranges, angles, prior_pose,
+                 max_iterations: int = 20) -> LocalizationResult:
+        """Refine (x, y, yaw) so the scan aligns with the map.
+
+        prior_pose: odometry estimate (x, y, yaw); the scan transforms into
+        the map frame with it, ICP solves the residual correction.
+        """
+        r = np.asarray(ranges)
+        a = np.asarray(angles)
+        ok = np.isfinite(r) & (r > 0)
+        x0, y0, yaw0 = (float(v) for v in prior_pose)
+        c, s = np.cos(yaw0), np.sin(yaw0)
+        lx = r[ok] * np.cos(a[ok])
+        ly = r[ok] * np.sin(a[ok])
+        wx = x0 + lx * c - ly * s
+        wy = y0 + lx * s + ly * c
+        src = jnp.asarray(np.stack([wx, wy, np.zeros_like(wx)], -1)
+                          .astype(np.float32))
+        res = icp_point_to_point(src, self._map3, threshold=self.threshold,
+                                 max_iterations=max_iterations, chunk=2048)
+        T = np.asarray(res.transformation)
+        dyaw = float(np.arctan2(T[1, 0], T[0, 0]))
+        # corrected pose: T acts on map-frame points, so compose planar parts
+        cx, sx = np.cos(dyaw), np.sin(dyaw)
+        nx = T[0, 3] + cx * x0 - sx * y0
+        ny = T[1, 3] + sx * x0 + cx * y0
+        return LocalizationResult(float(nx), float(ny), yaw0 + dyaw,
+                                  float(res.fitness), float(res.inlier_rmse))

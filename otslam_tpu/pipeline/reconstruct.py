@@ -81,11 +81,13 @@ class ReconstructionResult:
 
 def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
                 cfg: ReconstructionConfig, backend: str = "pallas",
-                max_active: int | None = None):
-    """Fuse a stacked frame batch into a dense TSDFVolume.
+                max_active: int | None = None, densify: bool = True):
+    """Fuse a stacked frame batch into a TSDF volume.
 
     max_active=None sizes the active-block capacity to the batch (exact
     bound from the activity precompute, bucketed to limit recompiles).
+    densify=False keeps sparse backends in block form (extraction can run
+    directly on blocks — much faster for large grids).
     """
     depths = jnp.asarray(depths)
     colors = jnp.asarray(colors)
@@ -106,17 +108,24 @@ def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
                                       intr, max_active=max_active)
     else:
         raise ValueError(f"unknown backend {backend!r}")
-    return block_to_dense(vol)
+    return block_to_dense(vol) if densify else vol
 
 
-def extract_filtered_cloud(dense_vol, cfg: ReconstructionConfig,
+def extract_filtered_cloud(vol, cfg: ReconstructionConfig,
                            seed: int = 0, capacity: int = 2_000_000,
                            z_filter: bool = True,
                            with_normals: bool = True) -> ReconstructionResult:
     """Surface extraction + uniform sampling + floor filter
-    (reconstruct_rgbd_filter.py:119-134)."""
-    out = extract_surface_points(dense_vol, capacity=capacity,
-                                 with_normals=with_normals)
+    (reconstruct_rgbd_filter.py:119-134). Accepts dense or block volumes;
+    block volumes extract sparsely (created blocks only)."""
+    from otslam_tpu.kernels.tsdf_block import (
+        BlockTSDFVolume, extract_surface_points_sparse)
+    if isinstance(vol, BlockTSDFVolume):
+        out = extract_surface_points_sparse(vol, capacity=capacity,
+                                            with_normals=with_normals)
+    else:
+        out = extract_surface_points(vol, capacity=capacity,
+                                     with_normals=with_normals)
     if with_normals:
         pts, cols, mask, normals = out
     else:
@@ -161,7 +170,7 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
         origin = auto_volume_origin(batch, intr, cfg)
         cfg = _dc.replace(cfg, tsdf=_dc.replace(cfg.tsdf, origin=origin))
     vol = fuse_frames(batch.depths, batch.colors, batch.extrinsics, intr,
-                      cfg, backend)
+                      cfg, backend, densify=(output == "mesh"))
     if output == "mesh":
         from otslam_tpu.kernels.marching import extract_mesh
         verts, faces, cols, normals = extract_mesh(vol)

@@ -89,3 +89,34 @@ class TestSparseIntegration:
         # padding row may receive writes but must never corrupt real blocks;
         # created flag of the dead row stays False
         assert not bool(np.asarray(sparse.created[-1]))
+
+
+class TestSparseExtraction:
+    def test_matches_dense_extraction(self):
+        from otslam_tpu.kernels.tsdf_block import extract_surface_points_sparse
+        depths, colors, exts = make_wall_frames()
+        sparse = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                         exts, INTR, max_active=512)
+        pts_d, cols_d, m_d = extract_surface_points(block_to_dense(sparse),
+                                                    capacity=100_000)
+        pts_s, cols_s, m_s = extract_surface_points_sparse(
+            sparse, capacity=100_000, max_blocks=512)
+        pd = np.asarray(pts_d)[np.asarray(m_d)]
+        ps = np.asarray(pts_s)[np.asarray(m_s)]
+        assert len(pd) == len(ps)
+        order_d = np.lexsort(pd.T)
+        order_s = np.lexsort(ps.T)
+        np.testing.assert_allclose(ps[order_s], pd[order_d], atol=1e-5)
+        cd = np.asarray(cols_d)[np.asarray(m_d)][order_d]
+        cs = np.asarray(cols_s)[np.asarray(m_s)][order_s]
+        np.testing.assert_allclose(cs, cd, atol=1e-5)
+
+    def test_normals_match_direction(self):
+        from otslam_tpu.kernels.tsdf_block import extract_surface_points_sparse
+        depths, colors, exts = make_wall_frames()
+        sparse = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                         exts, INTR, max_active=512)
+        pts, cols, mask, normals = extract_surface_points_sparse(
+            sparse, capacity=100_000, max_blocks=512, with_normals=True)
+        nz = np.asarray(normals)[np.asarray(mask)][:, 2]
+        assert np.mean(np.abs(nz) > 0.9) > 0.9
