@@ -4,6 +4,8 @@ visits and scans both (sticky object ordering), and both reconstruct."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from otslam_tpu.config import (CameraConfig, LidarConfig, OTSLAMConfig,
                                ReconstructionConfig, TSDFConfig, TrackerConfig)
 from otslam_tpu.pipeline.dataset import CaptureDataset

@@ -6,6 +6,8 @@ reference numbers (accuracy 2.63 cm / completeness 8.59 cm)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from otslam_tpu.config import CameraConfig, ReconstructionConfig, TSDFConfig
 from otslam_tpu.core.camera import PinholeIntrinsics
 from otslam_tpu.core.se3 import T_FIX_OPTICAL
