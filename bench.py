@@ -58,7 +58,7 @@ def main():
     intr = PinholeIntrinsics(width=640, height=480, fx=565.6009, fy=565.6009,
                              cx=320.5, cy=240.5)
     cfg = TSDFConfig()  # 256^3 @ 1 cm, trunc 4 cm (reference parameters)
-    n = 192 if on_tpu else 4
+    n = 384 if on_tpu else 4
 
     d, c, e = _make_frames(intr, n)
     depths = jnp.asarray(d)
