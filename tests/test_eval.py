@@ -158,3 +158,46 @@ class TestProbes:
         poses = [np.eye(4), np.eye(4)]
         pts, cols = trajectory_frames(poses)
         assert pts.shape == (8, 3) and cols.shape == (8, 3)
+
+
+class TestNoiseRobustness:
+    """Clean analytic scenes overstate accuracy; verify the pipeline holds up
+    under realistic depth noise (RealSense-class ~0.5-1% of range)."""
+
+    CAM = CameraConfig(width=160, height=120, fx=141.4002, fy=141.4002,
+                       cx=80.5, cy=60.5)
+
+    def test_cardboard_with_noisy_depth(self):
+        from otslam_tpu.pipeline.reconstruct import (
+            extract_filtered_cloud, fuse_frames)
+        from otslam_tpu.eval.scenarios import sample_object_surfaces
+        rng = np.random.default_rng(0)
+        scene = cardboard_room()
+        box = scene.objects[0]
+        intr = PinholeIntrinsics.from_config(self.CAM)
+        depths, colors, exts = [], [], []
+        for i in range(12):
+            a = 2 * np.pi * i / 12
+            eye = np.array([1.5 + 1.1 * np.cos(a), 0.5 + 1.1 * np.sin(a), 0.5])
+            pose = look_at_pose(eye, np.array([1.5, 0.5, 0.15]))
+            d, c = render_rgbd(scene, pose, intr, far=5.0)
+            d = np.asarray(d)
+            noise = rng.normal(0.0, 0.005, d.shape).astype(np.float32)
+            d = np.where(d > 0, np.maximum(d + noise, 0.01), 0.0)
+            depths.append(d)
+            colors.append(np.asarray(c))
+            exts.append(np.linalg.inv(pose).astype(np.float32))
+        cfg = ReconstructionConfig(
+            camera=self.CAM,
+            tsdf=TSDFConfig(dims=(128, 128, 64), origin=(0.9, -0.1, -0.1)),
+            surface_samples=30000)
+        vol = fuse_frames(np.stack(depths), np.stack(colors), np.stack(exts),
+                          intr, cfg, "sparse", densify=False)
+        res = extract_filtered_cloud(vol, cfg, seed=0)
+        gt = sample_object_surfaces([box], 20000, seed=0)
+        gt = gt[gt[:, 2] >= 0.03]
+        m = evaluate_map(res.points, gt)
+        # 5 mm Gaussian depth noise: TSDF averaging keeps accuracy well
+        # below the published 4.15 cm
+        assert m.accuracy_cm < 2.0, m
+        assert m.completeness_cm < 2.0, m
