@@ -137,10 +137,22 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
         hi = jax.lax.Precision.HIGHEST
         Jw = J * w[:, None]
         A = jax.lax.dot_general(Jw, J, (((0,), (0,)), ((), ())),
-                                precision=hi) + 1e-9 * jnp.eye(6)
+                                precision=hi)
+        # relative Tikhonov damping: under-constrained motion modes (e.g.
+        # floor-only views leave x/y/yaw free) must yield ~zero step, not a
+        # noise-driven walk; the bias on well-constrained modes is ~1e-3
+        A = A + (1e-3 * jnp.trace(A) / 6.0 + 1e-9) * jnp.eye(6)
         b = -jax.lax.dot_general(Jw, r, (((0,), (0,)), ((), ())),
                                  precision=hi)
         x = jnp.linalg.solve(A, b)                   # (wx, wy, wz, tx, ty, tz)
+        # clamp the step: the linearization is only valid for small motions,
+        # and a near-degenerate normal set (e.g. floor-dominated views) can
+        # otherwise launch a runaway iterate
+        rot_n = jnp.linalg.norm(x[:3])
+        tr_n = jnp.linalg.norm(x[3:])
+        scale = jnp.minimum(1.0, jnp.minimum(0.15 / jnp.maximum(rot_n, 1e-9),
+                                             0.15 / jnp.maximum(tr_n, 1e-9)))
+        x = x * scale
         wx, wy, wz, tx, ty, tz = x
         R = jnp.array([
             [1.0, -wz, wy],
@@ -155,23 +167,38 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
             jnp.array([tx, ty, tz]))
 
     def cond(state):
-        T, idx, inlier, fit, rmse, prev_fit, prev_rmse, it = state
+        (T, idx, inlier, fit, rmse, prev_fit, prev_rmse, it, *_rest) = state
         keep = ((jnp.abs(prev_fit - fit) > relative_fitness)
                 | (jnp.abs(prev_rmse - rmse) > relative_rmse))
         return (it < max_iterations) & ((it < 2) | keep)
 
     def body(state):
-        T, idx, inlier, fit, rmse, _, _, it = state
+        (T, idx, inlier, fit, rmse, _, _, it,
+         best_T, best_fit, best_rmse) = state
         p = src @ T[:3, :3].T + T[:3, 3]
         q = jnp.take(dst, idx, axis=0)
         nrm = jnp.take(dst_normals, idx, axis=0)
         dT = solve(p, q, nrm, inlier.astype(jnp.float32))
         T_new = (dT @ T).astype(jnp.float32)
         p2, idx_new, inl_new, fit_new, rmse_new = metrics(T_new)
-        return (T_new, idx_new, inl_new, fit_new, rmse_new, fit, rmse, it + 1)
+        # fallback tracking by inlier RMSE only: under partial overlap,
+        # fitness can *increase* for wrong poses (density sliding), so the
+        # last iterate is authoritative unless it collapsed (fitness ~ 0)
+        better = rmse_new < best_rmse
+        best_T = jnp.where(better, T_new, best_T)
+        best_fit = jnp.where(better, fit_new, best_fit)
+        best_rmse = jnp.where(better, rmse_new, best_rmse)
+        return (T_new, idx_new, inl_new, fit_new, rmse_new, fit, rmse,
+                it + 1, best_T, best_fit, best_rmse)
 
     p0, idx0, inl0, fit0, rmse0 = metrics(T0)
     state = (T0, idx0, inl0, fit0, rmse0, jnp.float32(-1.0),
-             jnp.float32(-1.0), jnp.int32(0))
-    T, _, _, fit, rmse, _, _, it = jax.lax.while_loop(cond, body, state)
+             jnp.float32(-1.0), jnp.int32(0), T0, fit0, rmse0)
+    out = jax.lax.while_loop(cond, body, state)
+    T, _, _, fit, rmse, _, _, it, best_T, best_fit, best_rmse = out
+    # last iterate unless it collapsed (lost nearly all correspondences)
+    use_best = fit < 0.05
+    T = jnp.where(use_best, best_T, T)
+    fit = jnp.where(use_best, best_fit, fit)
+    rmse = jnp.where(use_best, best_rmse, rmse)
     return ICPResult(T, fit, rmse, it)

@@ -1,0 +1,97 @@
+"""Frame-to-model ICP pose refinement (BASELINE config 3)."""
+
+import numpy as np
+import pytest
+
+from otslam_tpu.config import CameraConfig, ReconstructionConfig, TSDFConfig
+from otslam_tpu.core.camera import PinholeIntrinsics
+from otslam_tpu.core.se3 import euler_xyz_to_matrix, se3
+from otslam_tpu.eval.metrics import evaluate_map
+from otslam_tpu.eval.scenarios import sample_object_surfaces
+from otslam_tpu.pipeline.refine import (refine_trajectory, trajectory_error)
+from otslam_tpu.pipeline.reconstruct import extract_filtered_cloud
+from otslam_tpu.sim.sensors import look_at_pose, render_rgbd
+from otslam_tpu.sim.world import cardboard_room
+
+CAM = CameraConfig(width=160, height=120, fx=141.4002, fy=141.4002,
+                   cx=80.5, cy=60.5)
+CFG = ReconstructionConfig(
+    camera=CAM,
+    tsdf=TSDFConfig(dims=(128, 128, 64), origin=(0.9, -0.1, -0.1)),
+    surface_samples=30000)
+
+
+def make_captures(n=10):
+    scene = cardboard_room()
+    intr = PinholeIntrinsics.from_config(CAM)
+    depths, colors, exts = [], [], []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        eye = np.array([1.5 + 1.1 * np.cos(a), 0.5 + 1.1 * np.sin(a), 0.5])
+        pose = look_at_pose(eye, np.array([1.5, 0.5, 0.15]))
+        d, c = render_rgbd(scene, pose, intr, far=5.0)
+        depths.append(np.asarray(d))
+        colors.append(np.asarray(c))
+        exts.append(np.linalg.inv(pose))
+    return (np.stack(depths), np.stack(colors),
+            np.stack(exts).astype(np.float32), scene.objects[0])
+
+
+def perturb(exts, seed=0, t_sigma=0.012, r_sigma=0.008):
+    """Drifting odometry noise: per-step errors COMPOUND along the
+    trajectory (frame 0 exact). This is the error model frame-to-frame
+    refinement addresses — it bounds the relative error per step, whereas
+    raw odometry drift grows without bound."""
+    rng = np.random.default_rng(seed)
+    out = [exts[0]]
+    drift = np.eye(4)
+    for e in exts[1:]:
+        dR = euler_xyz_to_matrix(*rng.normal(0, r_sigma, 3))
+        dt = rng.normal(0, t_sigma, 3)
+        drift = se3(dR, dt) @ drift
+        out.append((drift @ e).astype(np.float32))
+    return np.stack(out)
+
+
+class TestPoseRefinement:
+    def test_recovers_noisy_trajectory(self):
+        intr = PinholeIntrinsics.from_config(CAM)
+        depths, colors, exts_gt, box = make_captures()
+        noisy = perturb(exts_gt)
+        t0, r0 = trajectory_error(noisy, exts_gt)
+        assert t0 > 0.02  # the drift is material
+
+        res = refine_trajectory(depths, colors, noisy, intr, CFG,
+                                max_active=1024, stride=2)
+        t1, r1 = trajectory_error(res.extrinsics, exts_gt)
+        assert t1 < t0 * 0.6, (t0, t1)
+        assert r1 < r0 * 0.7, (r0, r1)
+        assert min(res.fitness) > 0.4
+
+    def test_refined_fusion_beats_noisy_fusion(self):
+        from otslam_tpu.pipeline.reconstruct import fuse_frames
+        intr = PinholeIntrinsics.from_config(CAM)
+        depths, colors, exts_gt, box = make_captures()
+        noisy = perturb(exts_gt)
+        gt = sample_object_surfaces([box], 20000, seed=0)
+        gt = gt[gt[:, 2] >= 0.03]
+
+        vol_noisy = fuse_frames(depths, colors, noisy, intr, CFG, "sparse",
+                                densify=False)
+        m_noisy = evaluate_map(
+            extract_filtered_cloud(vol_noisy, CFG, seed=0).points, gt)
+
+        res = refine_trajectory(depths, colors, noisy, intr, CFG,
+                                max_active=1024, stride=2)
+        m_ref = evaluate_map(
+            extract_filtered_cloud(res.volume, CFG, seed=0).points, gt)
+        assert m_ref.accuracy_cm < m_noisy.accuracy_cm * 0.75
+        assert m_ref.accuracy_cm < 1.5, (m_noisy, m_ref)
+
+    def test_exact_poses_stay_exact(self):
+        intr = PinholeIntrinsics.from_config(CAM)
+        depths, colors, exts_gt, _ = make_captures(6)
+        res = refine_trajectory(depths, colors, exts_gt, intr, CFG,
+                                max_active=1024, stride=2)
+        t1, r1 = trajectory_error(res.extrinsics, exts_gt)
+        assert t1 < 0.01 and r1 < 0.01
