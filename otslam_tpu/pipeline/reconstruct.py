@@ -104,8 +104,9 @@ def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
         vol = integrate_frames_sparse(start, depths, colors, extrinsics,
                                       intr, max_active=max_active)
     elif backend == "pallas":
-        vol = integrate_frames_pallas(start, depths, colors, extrinsics,
-                                      intr, max_active=max_active)
+        vol = integrate_frames_pallas(
+            start, depths, colors, extrinsics, intr, max_active=max_active,
+            interpret=jax.default_backend() == "cpu")
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return block_to_dense(vol) if densify else vol

@@ -201,3 +201,24 @@ class TestNoiseRobustness:
         # below the published 4.15 cm
         assert m.accuracy_cm < 2.0, m
         assert m.completeness_cm < 2.0, m
+
+
+class TestPallasBackendOnCPU:
+    def test_reconstruct_pallas_backend_works_off_tpu(self):
+        """The default CLI backend must work on CPU (interpret mode)."""
+        from otslam_tpu.pipeline.reconstruct import (
+            extract_filtered_cloud, fuse_frames)
+        cam = CameraConfig(width=64, height=48, fx=56.0, fy=56.0,
+                           cx=32.0, cy=24.0)
+        intr = PinholeIntrinsics.from_config(cam)
+        cfg = ReconstructionConfig(
+            camera=cam,
+            tsdf=TSDFConfig(voxel_size=0.02, sdf_trunc=0.08,
+                            dims=(64, 64, 64), origin=(-0.64, -0.64, 0.2)),
+            surface_samples=5000)
+        d = np.full((2, 48, 64), 0.4503, np.float32)
+        c = np.full((2, 48, 64, 3), 90.0, np.float32)
+        e = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        vol = fuse_frames(d, c, e, intr, cfg, "pallas", densify=False)
+        res = extract_filtered_cloud(vol, cfg, seed=0, z_filter=False)
+        assert len(res.points) == 5000
