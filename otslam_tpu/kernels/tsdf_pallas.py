@@ -96,16 +96,21 @@ DEPTH_WIN = 256  # aligned lane window for depth selection (2 lane tiles);
 
 def _make_kernel(intr: PinholeIntrinsics, grid_blocks: Tuple[int, int, int],
                  origin, voxel_size: float, sdf_trunc: float,
-                 patch_rows: int, patch_rows_half: int, nb: int):
+                 patch_rows: int, patch_rows_half: int, nb: int, fpc: int):
+    """Kernel processing ``fpc`` frames per call: the per-block coordinate
+    skeleton, row DMAs, and state writes are shared across the frames (the
+    dominant non-matmul cost), while each frame contributes its own
+    projection + selection + running-mean step, gated by a per-frame
+    active flag (preserving the sequential creation semantics exactly)."""
     H, W = intr.height, intr.width
     H2, W2 = H // 2, W // 2
     win = min(DEPTH_WIN, W)
 
-    def kernel(ids_ref, pvf_ref, pvh_ref, puf_ref, e_ref,
+    def kernel(ids_ref, act_ref, pvf_ref, pvh_ref, puf_ref, e_ref,
                tsdf_ref, w_ref, col_ref, depth_ref, chalf_ref,
                tsdf_out, w_out, col_out):
         step = pl.program_id(0)
-        e = [e_ref[k] for k in range(12)]
+        A = ids_ref.shape[0]
 
         for j in range(BPG):
             k = step * BPG + j
@@ -113,112 +118,120 @@ def _make_kernel(intr: PinholeIntrinsics, grid_blocks: Tuple[int, int, int],
 
             @pl.when(bid < nb)
             def _():
-                pvf = pl.multiple_of(pvf_ref[k], 8)    # sublane-aligned
-                pvh = pl.multiple_of(pvh_ref[k], 8)
-                puf = pl.multiple_of(puf_ref[k], 128)  # lane-aligned
-
-                # --- projection in both orientations (cheap VPU math) ---
+                # --- shared per-block skeleton ---
                 wxr, wyr, wzr = _coords_row(bid, grid_blocks, origin, voxel_size)
-                u_r, v_r, pz_r = _project(e, wxr, wyr, wzr, intr)   # (1, 512)
                 wxc, wyc, wzc = _coords_col(bid, grid_blocks, origin, voxel_size)
-                u_c, v_c, _ = _project(e, wxc, wyc, wzc, intr)      # (512, 1)
-
-                # --- depth selection: one-hot matmuls inside a lane window ---
-                # TPU MXU f32 matmuls round inputs to bf16 by default; a hi/lo
-                # bf16 split keeps ~16 mantissa bits (<0.03 mm of depth) at
-                # 2 bf16 passes instead of 3 (Precision.HIGHEST).
-                iota_w = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOXELS, win), 1)
-                ou = ((u_c - puf) == iota_w).astype(jnp.bfloat16)   # (512, win)
-                dp = depth_ref[pl.ds(pvf, patch_rows), pl.ds(puf, win)]
-                dhi = dp.astype(jnp.bfloat16)
-                dlo = (dp - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
-                dims = (((1,), (1,)), ((), ()))
-                # hi/lo stacked on the M dim: one matmul, summed by a
-                # duplicated row-selector
-                d2 = jnp.concatenate([dhi, dlo], axis=0)            # (2PR, win)
-                # explicit DEFAULT precision: inputs are already bf16 (the
-                # package-global 'highest' would make Mosaic reject the dot)
-                M2 = jax.lax.dot_general(d2, ou, dims,
-                                         preferred_element_type=jnp.float32,
-                                         precision=jax.lax.Precision.DEFAULT)
-                iota_pr = jax.lax.broadcasted_iota(
-                    jnp.int32, (2 * patch_rows, BLOCK_VOXELS), 0)
-                ovT2 = (((v_r - pvf) == iota_pr)
-                        | ((v_r - pvf + patch_rows) == iota_pr)
-                        ).astype(jnp.float32)                       # (2PR, 512)
-                d = jnp.sum(M2 * ovT2, axis=0, keepdims=True)       # (1, 512)
-
-                # --- color selection from the half-res bf16 pyramid ---
-                iota_w2 = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOXELS, W2), 1)
-                ouh = ((u_c // 2) == iota_w2).astype(jnp.bfloat16)  # (512, W2)
-                iota_ph = jax.lax.broadcasted_iota(
-                    jnp.int32, (patch_rows_half, BLOCK_VOXELS), 0)
-                ovhT = (((v_r // 2) - pvh) == iota_ph).astype(jnp.float32)
-                # channels stacked on the M dim: one (3*PRh, W2) matmul
-                cp3 = jnp.concatenate(
-                    [chalf_ref[pl.ds(c * H2 + pvh, patch_rows_half), :]
-                     for c in range(3)], axis=0)                    # (3*PRh, W2)
-                Mc3 = jax.lax.dot_general(
-                    cp3, ouh, dims,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)            # (3*PRh, 512)
-                csel = [jnp.sum(Mc3[c * patch_rows_half:(c + 1) * patch_rows_half]
-                                * ovhT, axis=0, keepdims=True)
-                        for c in range(3)]
-
-                # --- TSDF update (same math as the XLA paths) ---
-                in_img = ((pz_r > 0) & (u_r >= 0) & (u_r < W)
-                          & (v_r >= 0) & (v_r < H))
-                sdf = d - pz_r
-                valid = in_img & (d > 0) & (sdf >= -sdf_trunc)
-                tsdf_obs = jnp.where(valid, jnp.minimum(sdf / sdf_trunc, 1.0), 0.0)
-                w_obs = valid.astype(jnp.float32)
-
                 told = tsdf_ref[j, :].reshape(1, BLOCK_VOXELS)
                 wold = w_ref[j, :].reshape(1, BLOCK_VOXELS)
-                w_new = wold + w_obs
-                denom = jnp.maximum(w_new, 1.0)
-                t_new = (told * wold + tsdf_obs * w_obs) / denom
-                tsdf_out[j, :] = t_new.reshape(BLOCK_VOXELS)
-                w_out[j, :] = w_new.reshape(BLOCK_VOXELS)
+                cold = [col_ref[j, c * BLOCK_VOXELS:(c + 1) * BLOCK_VOXELS]
+                        .reshape(1, BLOCK_VOXELS) for c in range(3)]
+
+                for f in range(fpc):
+                    e = [e_ref[f * 12 + q] for q in range(12)]
+                    act = act_ref[f * A + k]
+                    pvf = pl.multiple_of(pvf_ref[f * A + k], 8)
+                    pvh = pl.multiple_of(pvh_ref[f * A + k], 8)
+                    puf = pl.multiple_of(puf_ref[f * A + k], 128)
+
+                    u_r, v_r, pz_r = _project(e, wxr, wyr, wzr, intr)  # (1,512)
+                    u_c, v_c, _ = _project(e, wxc, wyc, wzc, intr)     # (512,1)
+
+                    # --- depth selection (bf16 hi/lo split, one matmul) ---
+                    iota_w = jax.lax.broadcasted_iota(
+                        jnp.int32, (BLOCK_VOXELS, win), 1)
+                    ou = ((u_c - puf) == iota_w).astype(jnp.bfloat16)
+                    dp = depth_ref[f, pl.ds(pvf, patch_rows), pl.ds(puf, win)]
+                    dhi = dp.astype(jnp.bfloat16)
+                    dlo = (dp - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dims = (((1,), (1,)), ((), ()))
+                    d2 = jnp.concatenate([dhi, dlo], axis=0)
+                    M2 = jax.lax.dot_general(
+                        d2, ou, dims, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+                    iota_pr = jax.lax.broadcasted_iota(
+                        jnp.int32, (2 * patch_rows, BLOCK_VOXELS), 0)
+                    ovT2 = (((v_r - pvf) == iota_pr)
+                            | ((v_r - pvf + patch_rows) == iota_pr)
+                            ).astype(jnp.float32)
+                    d = jnp.sum(M2 * ovT2, axis=0, keepdims=True)
+
+                    # --- color selection (half-res bf16 pyramid) ---
+                    iota_w2 = jax.lax.broadcasted_iota(
+                        jnp.int32, (BLOCK_VOXELS, W2), 1)
+                    ouh = ((u_c // 2) == iota_w2).astype(jnp.bfloat16)
+                    iota_ph = jax.lax.broadcasted_iota(
+                        jnp.int32, (patch_rows_half, BLOCK_VOXELS), 0)
+                    ovhT = (((v_r // 2) - pvh) == iota_ph).astype(jnp.float32)
+                    cp3 = jnp.concatenate(
+                        [chalf_ref[f, pl.ds(c * H2 + pvh, patch_rows_half), :]
+                         for c in range(3)], axis=0)
+                    Mc3 = jax.lax.dot_general(
+                        cp3, ouh, dims, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+                    csel = [jnp.sum(
+                        Mc3[c * patch_rows_half:(c + 1) * patch_rows_half]
+                        * ovhT, axis=0, keepdims=True) for c in range(3)]
+
+                    # --- running-mean step, gated by the frame's activity ---
+                    in_img = ((pz_r > 0) & (u_r >= 0) & (u_r < W)
+                              & (v_r >= 0) & (v_r < H))
+                    sdf = d - pz_r
+                    valid = in_img & (d > 0) & (sdf >= -sdf_trunc)
+                    tsdf_obs = jnp.where(
+                        valid, jnp.minimum(sdf / sdf_trunc, 1.0), 0.0)
+                    w_obs = valid.astype(jnp.float32) * (act > 0).astype(
+                        jnp.float32)
+                    w_new = wold + w_obs
+                    denom = jnp.maximum(w_new, 1.0)
+                    told = (told * wold + tsdf_obs * w_obs) / denom
+                    cold = [(cold[c] * wold + csel[c] * w_obs) / denom
+                            for c in range(3)]
+                    wold = w_new
+
+                tsdf_out[j, :] = told.reshape(BLOCK_VOXELS)
+                w_out[j, :] = wold.reshape(BLOCK_VOXELS)
                 for c in range(3):
                     sl = slice(c * BLOCK_VOXELS, (c + 1) * BLOCK_VOXELS)
-                    cold = col_ref[j, sl].reshape(1, BLOCK_VOXELS)
-                    c_new = (cold * wold + csel[c] * w_obs) / denom
-                    col_out[j, sl] = c_new.reshape(BLOCK_VOXELS)
+                    col_out[j, sl] = cold[c].reshape(BLOCK_VOXELS)
 
     return kernel
 
 
+FPC = 4  # frames per kernel call (share block skeleton/DMAs across frames)
+
+
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta", "interpret"))
 def _update_active_blocks(tsdf_rows, w_rows, col_rows, depth, chalf,
-                          ids, pvf, pvh, puf, evec, intr: PinholeIntrinsics,
-                          vol_meta, interpret: bool = False):
-    """Run the Pallas kernel over compact active-block rows.
+                          ids, act, pvf, pvh, puf, evec,
+                          intr: PinholeIntrinsics, vol_meta,
+                          interpret: bool = False):
+    """Run the Pallas kernel over compact active-block rows for FPC frames.
 
     tsdf_rows/w_rows: (A, 512) f32; col_rows: (A, 1536) f32;
-    depth: (H, W) f32; chalf: (3*H//2, W//2) bf16 (channels stacked on rows);
-    ids/pvf/pvh/puf: (A,) i32; evec: (12,) f32 (extrinsic rows 0..2).
+    depth: (FPC, H, W) f32; chalf: (FPC, 3*H//2, W//2) bf16;
+    ids: (A,) i32; act/pvf/pvh/puf: (FPC*A,) i32 frame-major;
+    evec: (FPC*12,) f32 (extrinsic rows 0..2 per frame).
     """
     grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
     nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
     A = tsdf_rows.shape[0]
     assert A % BPG == 0
-    H = depth.shape[0]
+    fpc = depth.shape[0]
+    H = depth.shape[1]
     patch_rows = min(128, H)
     patch_rows_half = min(64, H // 2)
 
     kernel = _make_kernel(intr, grid_blocks, origin, voxel_size, sdf_trunc,
-                          patch_rows, patch_rows_half, nb)
+                          patch_rows, patch_rows_half, nb, fpc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(A // BPG,),
         in_specs=[
             pl.BlockSpec((BPG, BLOCK_VOXELS), lambda i, *_: (i, 0)),
             pl.BlockSpec((BPG, BLOCK_VOXELS), lambda i, *_: (i, 0)),
             pl.BlockSpec((BPG, 3 * BLOCK_VOXELS), lambda i, *_: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # depth, whole image
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # chalf, whole pyramid
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # depths, whole images
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chalf pyramids
         ],
         out_specs=[
             pl.BlockSpec((BPG, BLOCK_VOXELS), lambda i, *_: (i, 0)),
@@ -235,24 +248,35 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, depth, chalf,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={5: 0, 6: 1, 7: 2},
+        input_output_aliases={6: 0, 7: 1, 8: 2},
         interpret=interpret,
-    )(ids, pvf, pvh, puf, evec, tsdf_rows, w_rows, col_rows, depth, chalf)
+    )(ids, act, pvf, pvh, puf, evec, tsdf_rows, w_rows, col_rows, depth,
+      chalf)
 
 
 @functools.partial(jax.jit, static_argnames=("intr",))
 def _max_active_needed(vol: BlockTSDFVolume, depths, extrinsics,
                        intr: PinholeIntrinsics):
-    """Exact upper bound on the per-frame active-block count for a batch:
+    """Exact upper bound on the per-CHUNK union active-block count for a
+    batch (the kernel processes FPC frames per call over their union):
     replays the creation recurrence (created |= band; active = created &
     visible) with a cumulative OR — one cheap batched dispatch."""
     nb = vol.num_blocks
+    n = depths.shape[0]
+    pad = (-n) % FPC
+    if pad:
+        depths = jnp.concatenate(
+            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
+        extrinsics = jnp.concatenate(
+            [extrinsics,
+             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None], (pad, 1, 1))])
     band_all, visible_all = jax.vmap(
         lambda d, e: _active_blocks(vol, d, e, intr))(depths, extrinsics)
     created_cum = jax.lax.associative_scan(jnp.logical_or, band_all, axis=0)
     created_cum = created_cum | vol.created[:nb][None]
-    counts = jnp.sum(created_cum & visible_all, axis=1)
-    return jnp.max(counts)
+    active = created_cum & visible_all
+    union = jnp.any(active.reshape(-1, FPC, nb), axis=1)
+    return jnp.max(jnp.sum(union, axis=1))
 
 
 def auto_max_active(vol: BlockTSDFVolume, depths, extrinsics,
@@ -293,8 +317,22 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
 
     # the creation recurrence is independent of integration, so EVERYTHING
     # per-frame except the volume update itself precomputes batched outside
-    # the scan: activity, created evolution (cumulative OR), active-id
-    # compaction, and the per-block patch starts
+    # the scan: activity, created evolution (cumulative OR), per-chunk
+    # union-active compaction, per-frame activity flags, and patch starts
+    n_frames = depths.shape[0]
+    pad = (-n_frames) % FPC
+    if pad:
+        depths = jnp.concatenate(
+            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
+        chalf_all = jnp.concatenate(
+            [chalf_all, jnp.zeros((pad,) + chalf_all.shape[1:],
+                                  chalf_all.dtype)])
+        extrinsics = jnp.concatenate(
+            [extrinsics,
+         jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None], (pad, 1, 1))])
+    n_total = depths.shape[0]
+    n_chunks = n_total // FPC
+
     dummy = BlockTSDFVolume(vol.tsdf, vol.weight, vol.color, vol.created,
                             vol.origin, vol.voxel_size, vol.sdf_trunc,
                             vol.grid_blocks)
@@ -302,8 +340,17 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
         lambda d, e: _active_blocks(dummy, d, e, intr))(depths, extrinsics)
     created_all = jax.lax.associative_scan(jnp.logical_or, band_all, axis=0)
     created_all = created_all | vol.created[:nb][None]
-    active_all = created_all & visible_all
-    ids_all = jax.vmap(lambda a: compact_ids(a, max_active, nb))(active_all)
+    active_all = created_all & visible_all                     # (N, NB)
+
+    # chunk-union compaction + per-frame flags at the union ids
+    active_c = active_all.reshape(n_chunks, FPC, nb)
+    union_c = jnp.any(active_c, axis=1)                        # (C, NB)
+    ids_all = jax.vmap(lambda a: compact_ids(a, max_active, nb))(union_c)
+    act_pad = jnp.concatenate(
+        [active_c, jnp.zeros((n_chunks, FPC, 1), bool)], axis=-1)
+    act_all = jax.vmap(
+        lambda af, i: jnp.take(af, i, axis=1))(act_pad, ids_all)
+    act_all = act_all.astype(jnp.int32).reshape(n_chunks, FPC * max_active)
 
     def starts(E, ids):
         bcx = jnp.take(cx_b, jnp.minimum(ids, nb - 1))
@@ -325,19 +372,25 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                        & ~127, 0, W - win)
         return pvf, pvh, puf
 
-    E_all = extrinsics.astype(jnp.float32)
-    pvf_all, pvh_all, puf_all = jax.vmap(starts)(E_all, ids_all)
-    evec_all = E_all[:, :3, :].reshape(-1, 12)
+    E_all = extrinsics.astype(jnp.float32).reshape(n_chunks, FPC, 4, 4)
+    ids_rep = jnp.repeat(ids_all[:, None, :], FPC, axis=1)     # (C, FPC, A)
+    pvf_all, pvh_all, puf_all = jax.vmap(jax.vmap(starts))(E_all, ids_rep)
+    pvf_all = pvf_all.reshape(n_chunks, FPC * max_active)
+    pvh_all = pvh_all.reshape(n_chunks, FPC * max_active)
+    puf_all = puf_all.reshape(n_chunks, FPC * max_active)
+    evec_all = E_all[:, :, :3, :].reshape(n_chunks, FPC * 12)
+    depths_c = depths.reshape((n_chunks, FPC) + depths.shape[1:])
+    chalf_c = chalf_all.reshape((n_chunks, FPC) + chalf_all.shape[1:])
 
     def step(carry, frame):
         tsdf, weight, color = carry
-        depth, chalf, ids, pvf, pvh, puf, evec = frame
+        depth, chalf, ids, act, pvf, pvh, puf, evec = frame
         t_rows = jnp.take(tsdf, ids, axis=0)
         w_rows = jnp.take(weight, ids, axis=0)
         c_rows = jnp.take(color, ids, axis=0)
         t_new, w_new, c_new = _update_active_blocks(
-            t_rows, w_rows, c_rows, depth, chalf, ids, pvf, pvh, puf, evec,
-            intr, vol_meta, interpret)
+            t_rows, w_rows, c_rows, depth, chalf, ids, act, pvf, pvh, puf,
+            evec, intr, vol_meta, interpret)
         tsdf = tsdf.at[ids].set(t_new, unique_indices=True)
         weight = weight.at[ids].set(w_new, unique_indices=True)
         color = color.at[ids].set(c_new, unique_indices=True)
@@ -345,7 +398,8 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
 
     (tsdf, weight, color), _ = jax.lax.scan(
         step, (vol.tsdf, vol.weight, vol.color),
-        (depths, chalf_all, ids_all, pvf_all, pvh_all, puf_all, evec_all))
+        (depths_c, chalf_c, ids_all, act_all, pvf_all, pvh_all, puf_all,
+         evec_all))
     created = vol.created.at[:nb].set(created_all[-1])
     return BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
                            vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)
