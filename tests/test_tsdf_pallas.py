@@ -64,3 +64,34 @@ class TestPallasKernel:
         p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
                                     exts, INTR, max_active=64, interpret=True)
         np.testing.assert_array_equal(np.asarray(s.created), np.asarray(p.created))
+
+
+class TestAutoCapacity:
+    def test_union_bound_covers_all_chunks(self):
+        """auto_max_active must bound the per-chunk UNION active count — the
+        kernel processes FPC frames per call and silently skips overflow."""
+        import numpy as np
+        from otslam_tpu.kernels.tsdf_block import (
+            _active_blocks, make_block_volume)
+        from otslam_tpu.kernels.tsdf_pallas import FPC, auto_max_active
+        import jax
+        import jax.numpy as jnp
+
+        depths, colors, exts = scene()
+        # extend to 4 frames with varied poses
+        depths = jnp.concatenate([depths, depths + 0.11])
+        colors = jnp.concatenate([colors, colors])
+        exts = jnp.concatenate([exts, exts])
+        vol = make_block_volume(CFG)
+        ma = auto_max_active(vol, depths, exts, INTR, bucket=8)
+
+        band, vis = jax.vmap(
+            lambda d, e: _active_blocks(vol, d, e, INTR))(depths, exts)
+        created = jax.lax.associative_scan(jnp.logical_or, band, axis=0)
+        active = np.asarray(created & vis)
+        n, nb = active.shape
+        pad = (-n) % FPC
+        if pad:
+            active = np.concatenate([active, np.zeros((pad, nb), bool)])
+        unions = active.reshape(-1, FPC, nb).any(axis=1).sum(axis=1)
+        assert ma >= unions.max()
