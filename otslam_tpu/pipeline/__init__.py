@@ -8,3 +8,8 @@ from otslam_tpu.pipeline.reconstruct import (  # noqa: F401
     reconstruct_all,
     reconstruct_range,
 )
+from otslam_tpu.pipeline.online import OnlineFusion  # noqa: F401
+from otslam_tpu.pipeline.refine import (  # noqa: F401
+    refine_trajectory,
+    trajectory_error,
+)
