@@ -53,7 +53,8 @@ class MissionRunner:
                  camera_height: float = 0.3, robot_speed: float = 0.5,
                  map_resolution: float = 0.05,
                  nav_failure_rate: float = 0.0,
-                 camera_failure_rate: float = 0.0, fault_seed: int = 0):
+                 camera_failure_rate: float = 0.0, fault_seed: int = 0,
+                 odom_noise_per_m: float = 0.0, use_localizer: bool = False):
         self.cfg = cfg or OTSLAMConfig()
         # fault injection (failure-detection behaviors under test)
         self.nav_failure_rate = nav_failure_rate
@@ -69,6 +70,13 @@ class MissionRunner:
 
         self.x, self.y, self.yaw = map(float, start_pose)
         self.t = 0.0
+        # odometry model: the *reported* pose drifts per meter traveled;
+        # optionally corrected by scan-to-map localization each tick
+        self.odom_noise_per_m = odom_noise_per_m
+        self.use_localizer = use_localizer
+        self._odom_drift = np.zeros(3)  # (dx, dy, dyaw)
+        self._localizer = None
+        self.pose_estimate = (self.x, self.y, self.yaw)
 
         self.vscanner = VirtualScanner(self.cfg.lidar)
         self.vscanner.set_map(scene_map.occupancy_grid(map_resolution))
@@ -105,25 +113,46 @@ class MissionRunner:
         d = float(np.hypot(gx - self.x, gy - self.y))
         self.t += d / self.robot_speed + 1.0
         self.x, self.y, self.yaw = float(gx), float(gy), float(gyaw)
+        if self.odom_noise_per_m > 0.0 and d > 0:
+            self._odom_drift += self._fault_rng.normal(
+                0.0, self.odom_noise_per_m * d, 3) * np.array([1, 1, 0.5])
+        # localization runs continuously: refresh the believed pose on
+        # arrival (captures happen right after navigation)
+        angles = self.vscanner.angles()
+        real = render_lidar(self.scene_world, self.x, self.y, self.yaw,
+                            angles, self.cfg.lidar.range_min,
+                            self.cfg.lidar.range_max)
+        self.pose_estimate = self._estimate_pose(real, angles)
         return True
 
     def _body_pose(self) -> np.ndarray:
+        """Body pose as the system BELIEVES it (estimate, not ground truth) —
+        capture files carry this, like TF would on the reference robot."""
+        ex, ey, eyaw = self.pose_estimate
+        R2 = yaw_to_matrix2d(eyaw)
+        R = np.eye(3)
+        R[:2, :2] = R2
+        return se3(R, [ex, ey, self.camera_height])
+
+    def _true_body_pose(self) -> np.ndarray:
         R2 = yaw_to_matrix2d(self.yaw)
         R = np.eye(3)
         R[:2, :2] = R2
         return se3(R, [self.x, self.y, self.camera_height])
 
     def _optical_pose(self) -> np.ndarray:
-        """Optical camera->world pose: forward-mounted camera (optical z =
-        body +x), via the body-frame axis map T_FIX_GT
+        """TRUE optical camera->world pose for rendering: forward-mounted
+        camera (optical z = body +x), via the body-frame axis map T_FIX_GT
         (reconstruct_rgbd_gt.py:52-57)."""
-        return self._body_pose() @ T_FIX_GT
+        return self._true_body_pose() @ T_FIX_GT
 
     def _camera_pose(self) -> np.ndarray:
-        """Pose written to disk: chosen so the standard reconstruction
-        pipeline (right-multiply T_FIX_OPTICAL, then invert —
-        reconstruct_rgbd.py:93-96) recovers the true optical pose exactly."""
-        return self._optical_pose() @ T_FIX_OPTICAL.T
+        """Pose written to disk: the system's BELIEVED optical pose, encoded
+        so the standard reconstruction pipeline (right-multiply
+        T_FIX_OPTICAL, then invert — reconstruct_rgbd.py:93-96) recovers it
+        exactly. With odometry noise this carries the estimate's error,
+        exactly like TF on the reference robot."""
+        return self._body_pose() @ T_FIX_GT @ T_FIX_OPTICAL.T
 
     def _grab_frames(self):
         if self._fault_rng.random() < self.camera_failure_rate:
@@ -143,6 +172,19 @@ class MissionRunner:
 
     # --- perception tick ----------------------------------------------------
 
+    def _estimate_pose(self, real, angles):
+        """Reported pose: true + accumulated odometry drift, optionally
+        corrected by scan-to-map ICP against the saved map."""
+        odom = (self.x + self._odom_drift[0], self.y + self._odom_drift[1],
+                self.yaw + self._odom_drift[2])
+        if not self.use_localizer:
+            return odom
+        if self._localizer is None:
+            from otslam_tpu.mapping.localize import ScanLocalizer
+            self._localizer = ScanLocalizer(self.vscanner._map)
+        res = self._localizer.localize(real, angles, odom)
+        return (res.x, res.y, res.yaw)
+
     def perception_tick(self) -> None:
         dt = 1.0 / self.cfg.lidar.rate_hz
         self.t += dt
@@ -150,13 +192,14 @@ class MissionRunner:
         real = render_lidar(self.scene_world, self.x, self.y, self.yaw,
                             angles, self.cfg.lidar.range_min,
                             self.cfg.lidar.range_max)
-        virt = self.vscanner.scan(self.x, self.y, self.yaw)
+        self.pose_estimate = self._estimate_pose(real, angles)
+        virt = self.vscanner.scan(*self.pose_estimate)
         self.detector.on_virtual_scan(virt)
-        self.detector.on_scan(real, angles, (self.x, self.y, self.yaw), self.t)
+        self.detector.on_scan(real, angles, self.pose_estimate, self.t)
         self.tracker.update(self.detector.added_objects(), self.t)
         self.removed_tracker.update(self.detector.removed_objects(), self.t)
 
-        self.sender.on_odom(self.x, self.y)
+        self.sender.on_odom(self.pose_estimate[0], self.pose_estimate[1])
         self.sender.on_added_points(
             visiting_points(self.tracker.stable_objects, self.cfg.tracker))
         self.sender.on_removed_points(

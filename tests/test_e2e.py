@@ -85,3 +85,43 @@ class TestClosedLoop:
         sdf = d_out + d_in
         rmse = float(np.sqrt((sdf ** 2).mean()))
         assert rmse < 0.02, f"box reconstruction RMSE {rmse*1000:.1f} mm"
+
+
+class TestLocalizedMission:
+    def test_mission_with_drifting_odometry_and_localizer(self, tmp_path):
+        """No oracle poses: odometry drifts per meter traveled; scan-to-map
+        localization keeps the believed pose (and thus captures, goals, and
+        change detection) accurate."""
+        runner = MissionRunner(
+            scene_map=Scene(objects=()),
+            scene_world=Scene(objects=(BOX,)),
+            workdir=str(tmp_path), cfg=make_cfg(),
+            start_pose=(-2.0, -2.0, 0.5),
+            odom_noise_per_m=0.02, use_localizer=True, fault_seed=3)
+        summary = runner.run(max_ticks=300)
+        assert summary.missions_completed >= 3
+        assert summary.frames_captured >= 3
+        # drift accumulated but the believed pose stayed close to truth
+        drift = float(np.hypot(*runner._odom_drift[:2]))
+        est_err = float(np.hypot(runner.pose_estimate[0] - runner.x,
+                                 runner.pose_estimate[1] - runner.y))
+        assert drift > 0.03  # odometry alone would be materially off
+        assert est_err < 0.06
+        assert est_err < drift
+        # captures reconstruct to usable geometry despite noisy odometry
+        ds = CaptureDataset(f"{tmp_path}/dataset", CAM)
+        cfg = ReconstructionConfig(
+            camera=CAM,
+            tsdf=TSDFConfig(dims=(128, 128, 64), origin=(0.9, -0.1, -0.1)),
+            surface_samples=20000)
+        res = reconstruct_object(ds, "Object_0", cfg, backend="sparse")
+        assert len(res.points) > 3000
+        p = res.points - np.array([1.5, 0.5, 0.15])
+        c, s = np.cos(-0.3), np.sin(-0.3)
+        local = np.stack([p[:, 0] * c - p[:, 1] * s,
+                          p[:, 0] * s + p[:, 1] * c, p[:, 2]], -1)
+        q = np.abs(local) - np.array([0.25, 0.2, 0.15])
+        sdf = (np.linalg.norm(np.maximum(q, 0), axis=1)
+               + np.minimum(np.max(q, axis=1), 0))
+        rmse = float(np.sqrt((sdf ** 2).mean()))
+        assert rmse < 0.04, f"RMSE {rmse*1000:.1f} mm with localized poses"
