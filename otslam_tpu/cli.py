@@ -178,6 +178,10 @@ def _cmd_eval(args):
 
 
 def _cmd_mission(args):
+    import jax
+    if jax.default_backend() != "cpu":
+        print("note: interactive missions are per-tick dispatch-bound on "
+              "remote TPUs; JAX_PLATFORMS=cpu is much faster", flush=True)
     from otslam_tpu.config import OTSLAMConfig, TrackerConfig
     from otslam_tpu.sim.runner import MissionRunner
     from otslam_tpu.sim.world import (
