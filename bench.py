@@ -84,12 +84,23 @@ def main():
         best = min(best, time.time() - t0)
 
     fps = n / best
-    print(json.dumps({
+    out = {
         "metric": "vga_frames_fused_per_sec",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 500.0, 3),
-    }))
+    }
+    # secondary metric inside the same single JSON line (ICP has no published
+    # reference throughput; recorded for round-over-round tracking)
+    try:
+        import bench_icp
+
+        icp = bench_icp.measure()
+        out["icp_iterations_per_sec"] = icp["value"]
+        out["icp_unit"] = icp["unit"]
+    except Exception as e:  # never let the secondary break the headline line
+        out["icp_error"] = repr(e)[:120]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

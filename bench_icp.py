@@ -11,7 +11,9 @@ import time
 import numpy as np
 
 
-def main():
+def measure() -> dict:
+    """Run the ICP benchmark and return its metric dict (used by bench.py to
+    embed the secondary metric in the driver's single JSON line)."""
     import jax
     import jax.numpy as jnp
 
@@ -44,12 +46,16 @@ def main():
         _ = float(res.inlier_rmse)
         best = min(best, time.time() - t0)
 
-    print(json.dumps({
+    return {
         "metric": "icp_iterations_per_sec",
         "value": round(done_iters / best, 1),
         "unit": f"iters/s at {n}x{n} points",
         "final_rmse_m": round(float(res.inlier_rmse), 6),
-    }))
+    }
+
+
+def main():
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

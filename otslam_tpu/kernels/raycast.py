@@ -43,8 +43,12 @@ def raycast_grid(grid_data: jnp.ndarray, resolution: float,
     rx = robot_x + dists[None, :] * cos_a                # (N, S)
     ry = robot_y + dists[None, :] * sin_a
 
-    gx = jnp.floor((rx - origin_x) / resolution).astype(jnp.int32)
-    gy = jnp.floor((ry - origin_y) / resolution).astype(jnp.int32)
+    # truncating f32->i32 cast matches the C++ ``(int)((x - ox) / res)``
+    # (virtual_scan_node.cpp:274-275): for sample points in (ox - res, ox)
+    # the cast yields cell 0 (in bounds, tested) where floor would yield -1
+    # (out of bounds, ray terminated) — same contract as evidence.world_to_key
+    gx = ((rx - origin_x) / resolution).astype(jnp.int32)
+    gy = ((ry - origin_y) / resolution).astype(jnp.int32)
     oob = (gx < 0) | (gx >= W) | (gy < 0) | (gy >= H)
     flat = jnp.clip(gy, 0, H - 1) * W + jnp.clip(gx, 0, W - 1)
     occ = jnp.take(grid_data.reshape(-1), flat) == 100

@@ -432,8 +432,11 @@ def extract_surface_points_sparse(vol: BlockTSDFVolume,
     cross = (w_s[None] > 0) & (w_b > 0) & (t_s[None] * t_b < 0)     # (3,M,...)
     flat_mask = cross.reshape(-1)
     count = jnp.sum(flat_mask, dtype=jnp.int32)
-    (sel,) = jnp.nonzero(flat_mask, size=capacity, fill_value=0)
+    # stable argsort compaction (see tsdf.extract_surface_points): faster than
+    # nonzero(size=...) on TPU, same ascending order and 0-fill semantics
+    sel = jnp.argsort(~flat_mask, stable=True)[:capacity]
     out_mask = jnp.arange(capacity) < count
+    sel = jnp.where(out_mask, sel, 0)
 
     axis = sel // (M * V)
     ci = (sel // V) % M

@@ -44,6 +44,9 @@ class MissionSummary:
     stable_objects: int = 0
     sim_time: float = 0.0
     labels: List[str] = field(default_factory=list)
+    # label of every successful capture, in order — lets tests assert the
+    # sticky (non-interleaved) object visiting order, not just completion
+    capture_sequence: List[str] = field(default_factory=list)
 
 
 class MissionRunner:
@@ -166,6 +169,7 @@ class MissionRunner:
         res = self.scanner.execute(ScanObjectGoal(label, x, y, radius))
         if res.success:
             self.summary.frames_captured += 1
+            self.summary.capture_sequence.append(label)
             if label not in self.summary.labels:
                 self.summary.labels.append(label)
         return res.success

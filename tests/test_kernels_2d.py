@@ -24,8 +24,8 @@ def raycast_oracle(grid, res, ox, oy, rx, ry, yaw, angles, range_max):
             dist += res
             x = rx + dist * np.cos(ga)
             y = ry + dist * np.sin(ga)
-            gx = int(np.floor((x - ox) / res))
-            gy = int(np.floor((y - oy) / res))
+            gx = int((x - ox) / res)   # C cast: truncation toward zero
+            gy = int((y - oy) / res)   # (virtual_scan_node.cpp:274-275)
             if gx < 0 or gx >= W or gy < 0 or gy >= H:
                 break
             if grid[gy, gx] == 100:
@@ -48,6 +48,23 @@ class TestRaycast:
                                       rx, ry, yaw, jnp.asarray(angles), 5.0))
         want = raycast_oracle(grid, res, ox, oy, rx, ry, yaw, angles, 5.0)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_c_cast_boundary_semantics(self):
+        """Sample points in (origin - res, origin) truncate to cell 0 (tested,
+        like the C++ ``(int)`` cast) instead of flooring to -1 (ray end).
+        Regression: a floor-based kernel returns inf here."""
+        grid = np.zeros((20, 20), np.int8)
+        grid[0, 0] = 100  # occupied cell at the grid corner
+        res, ox, oy = 0.1, 0.0, 0.0
+        # robot just inside the grid, ray pointing toward -x: first sample at
+        # x = -0.05 -> (x-ox)/res = -0.5 -> C-cast cell 0 (occupied) -> hit
+        got = np.asarray(raycast_grid(jnp.asarray(grid), res, ox, oy,
+                                      0.05, 0.05, 0.0,
+                                      jnp.asarray([np.pi], np.float32), 3.0))
+        want = raycast_oracle(grid, res, ox, oy, 0.05, 0.05, 0.0,
+                              np.asarray([np.pi]), 3.0)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert np.isfinite(got[0]), "floor semantics would terminate the ray"
 
     def test_no_hit_is_inf(self):
         grid = np.zeros((20, 20), np.int8)
