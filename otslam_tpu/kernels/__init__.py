@@ -43,3 +43,14 @@ from otslam_tpu.kernels.cluster import (  # noqa: F401
     ClusterStats,
 )
 from otslam_tpu.kernels.sampling import resample_points  # noqa: F401
+from otslam_tpu.kernels.pose_graph import (  # noqa: F401
+    exp_se3,
+    log_se3,
+    optimize_pose_graph,
+    PoseGraphResult,
+)
+from otslam_tpu.kernels.track import (  # noqa: F401
+    sample_tsdf_trilinear,
+    track_frame_to_tsdf,
+    TrackResult,
+)

@@ -10,6 +10,9 @@ from otslam_tpu.pipeline.reconstruct import (  # noqa: F401
 )
 from otslam_tpu.pipeline.online import OnlineFusion  # noqa: F401
 from otslam_tpu.pipeline.refine import (  # noqa: F401
+    detect_loop_closures,
     refine_trajectory,
+    refine_trajectory_f2m,
+    refine_trajectory_pgo,
     trajectory_error,
 )

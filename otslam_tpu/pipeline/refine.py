@@ -24,6 +24,8 @@ from otslam_tpu.config import ReconstructionConfig
 from otslam_tpu.core.camera import PinholeIntrinsics
 from otslam_tpu.core.se3 import invert_se3
 from otslam_tpu.kernels.icp import icp_point_to_plane, icp_point_to_point
+from otslam_tpu.kernels.pose_graph import optimize_pose_graph
+from otslam_tpu.kernels.track import track_frame_to_tsdf
 from otslam_tpu.kernels.tsdf_block import (
     extract_surface_points_sparse, integrate_frames_sparse,
     make_block_volume)
@@ -145,6 +147,224 @@ def refine_trajectory(depths, colors, extrinsics, intr: PinholeIntrinsics,
         make_block_volume(cfg.tsdf), jnp.asarray(depths),
         jnp.asarray(colors), jnp.asarray(ext), intr, max_active=max_active)
     return RefineResult(ext, vol, fitness, rmses)
+
+
+def refine_trajectory_f2m(depths, colors, extrinsics, intr: PinholeIntrinsics,
+                          cfg: ReconstructionConfig, max_active: int = 2048,
+                          stride: int = 4, max_iterations: int = 15,
+                          trust_translation: float = 0.2,
+                          trust_rot: float = 0.2) -> RefineResult:
+    """Frame-to-MODEL tracking: direct projective alignment against the TSDF.
+
+    Each frame's pose is solved by Gauss-Newton on the signed distance field
+    accumulated so far (kernels/track.py) — no extraction, no correspondence
+    search — then the frame fuses at the corrected pose. Registering against
+    the global model means per-frame errors do NOT compound along the chain:
+    drift stays bounded by the model's accuracy instead of growing O(N), and
+    the reference's capture-circle geometry (scanner_node.cpp:164-258) brings
+    the camera back over mapped surface, closing the loop implicitly.
+
+    Same I/O contract as refine_trajectory. The frame's odometry INCREMENT
+    (not its absolute pose) seeds the solve, so odometry that has drifted far
+    from the world frame still provides a good relative prior.
+    """
+    n = depths.shape[0]
+    out_ext = [np.asarray(extrinsics[0], np.float64)]
+    fitness, rmses = [], []
+
+    vol = integrate_frames_sparse(
+        make_block_volume(cfg.tsdf), jnp.asarray(depths[:1]),
+        jnp.asarray(colors[:1]), jnp.asarray(extrinsics[:1]), intr,
+        max_active=max_active)
+
+    for i in range(1, n):
+        # odometry increment composed onto the corrected predecessor
+        E_prev_odo = np.asarray(extrinsics[i - 1], np.float64)
+        E_cur_odo = np.asarray(extrinsics[i], np.float64)
+        E_prior = (E_cur_odo @ invert_se3(E_prev_odo)) @ out_ext[-1]
+
+        pts, mask = _frame_points(jnp.asarray(depths[i]), intr, stride)
+        res = track_frame_to_tsdf(vol, pts, mask,
+                                  jnp.asarray(invert_se3(E_prior),
+                                              jnp.float32),
+                                  max_iterations=max_iterations)
+        T = np.asarray(res.transformation, np.float64)
+        dT = T @ E_prior                        # camera->world correction
+        d_rot = np.arccos(np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1))
+        d_tr = np.linalg.norm(dT[:3, 3])
+        if d_rot > trust_rot or d_tr > trust_translation:
+            corrected = E_prior
+        else:
+            corrected = invert_se3(T)
+        out_ext.append(corrected)
+        fitness.append(float(res.inlier_fraction))
+        rmses.append(float(res.rmse))
+        vol = integrate_frames_sparse(
+            vol, jnp.asarray(depths[i:i + 1]), jnp.asarray(colors[i:i + 1]),
+            jnp.asarray(corrected.astype(np.float32))[None], intr,
+            max_active=max_active)
+
+    ext = np.stack(out_ext).astype(np.float32)
+    return RefineResult(ext, vol, fitness, rmses)
+
+
+def _register_pair(pts_i, nrm_i, valid_i, pts_j, valid_j, prior_rel,
+                   thresholds=(0.1, 0.05, 0.02)):
+    """Annealed point-to-plane registration of frame j onto frame i.
+
+    pts/nrm are camera-frame arrays from _frame_points_normals; prior_rel is
+    the prior camera_j -> camera_i transform. Returns (M, fitness, rmse)
+    with M the measured camera_j -> camera_i transform.
+    """
+    src = pts_j @ jnp.asarray(prior_rel[:3, :3].T, jnp.float32) \
+        + jnp.asarray(prior_rel[:3, 3], jnp.float32)
+    T_acc = jnp.eye(4, dtype=jnp.float32)
+    res = None
+    for thr in thresholds:
+        res = icp_point_to_plane(src, pts_i, nrm_i, threshold=thr, init=T_acc,
+                                 src_mask=valid_j, dst_mask=valid_i,
+                                 max_iterations=15, chunk=2048)
+        T_acc = res.transformation
+    M = np.asarray(T_acc, np.float64) @ np.asarray(prior_rel, np.float64)
+    return M, float(res.fitness), float(res.inlier_rmse)
+
+
+def detect_loop_closures(depths, extrinsics, intr: PinholeIntrinsics,
+                         stride: int = 4, min_gap: int = 8,
+                         radius: float = 0.8, max_pairs: int = 6,
+                         min_fitness: float = 0.5):
+    """Propose + verify loop-closure edges over a trajectory.
+
+    Candidates: frame pairs (i, j) with |i - j| >= min_gap whose estimated
+    camera centers are within `radius` (the capture circle brings the end of
+    a loop back near its start). Each candidate is verified by annealed
+    point-to-plane ICP; pairs below `min_fitness` are rejected. Greedy
+    farthest-in-index-first selection caps the count at max_pairs.
+
+    Returns a list of (i, j, Z, fitness) with Z the measured camera_j ->
+    camera_i transform (== inv(T_i) @ T_j for camera->world T).
+    """
+    n = depths.shape[0]
+    ext = np.asarray(extrinsics, np.float64)
+    centers = np.stack([invert_se3(e)[:3, 3] for e in ext])
+    cand = []
+    for i in range(n):
+        for j in range(i + min_gap, n):
+            d = np.linalg.norm(centers[i] - centers[j])
+            if d < radius:
+                cand.append((j - i, d, i, j))
+    # prefer the longest loops (largest index gap), then the closest centers
+    cand.sort(key=lambda c: (-c[0], c[1]))
+    used = set()
+    edges = []
+    cache = {}
+
+    def frame(k):
+        if k not in cache:
+            cache[k] = _frame_points_normals(jnp.asarray(depths[k]), intr,
+                                             stride)
+        return cache[k]
+
+    for gap, d, i, j in cand:
+        if len(edges) >= max_pairs:
+            break
+        if i in used or j in used:
+            continue
+        pi, ni, vi = frame(i)
+        pj, _, vj = frame(j)
+        prior_rel = ext[i] @ invert_se3(ext[j])
+        M, fit, rmse = _register_pair(pi, ni, vi, pj, vj, prior_rel)
+        if fit >= min_fitness:
+            edges.append((i, j, M, fit))
+            used.add(i)
+            used.add(j)
+    return edges
+
+
+def refine_trajectory_pgo(depths, colors, extrinsics, intr: PinholeIntrinsics,
+                          cfg: ReconstructionConfig, max_active: int = 2048,
+                          stride: int = 4, min_gap: int = 8,
+                          loop_radius: float = 0.8, max_loop_pairs: int = 6,
+                          num_iters: int = 12,
+                          front_end: str = "f2m") -> RefineResult:
+    """Pose-graph refinement: tracked odometry chain + loop-closure edges,
+    jointly optimized with Gauss-Newton (kernels/pose_graph.py), then fused.
+
+    Whereas refine_trajectory chains per-pair corrections (drift O(N)) and
+    refine_trajectory_f2m bounds drift with the model, this variant closes
+    loops GLOBALLY: the residual drift accumulated along the chain
+    redistributes over all poses when loop edges pin revisits together.
+
+    front_end selects the chain tracker: "f2m" (direct TSDF tracking — the
+    default; its drift is already bounded, so PGO only has to spread the
+    small loop residual) or "icp" (frame-to-frame point-to-plane pairs —
+    no volume needed, works on bare point sets).
+    """
+    n = depths.shape[0]
+    ei, ej, Zs, ws = [], [], [], []
+    fitness, rmses = [], []
+
+    if front_end == "f2m":
+        fe = refine_trajectory_f2m(depths, colors, extrinsics, intr, cfg,
+                                   max_active=max_active, stride=stride)
+        ext_chain = fe.extrinsics.astype(np.float64)
+        fitness, rmses = fe.fitness, fe.rmse
+        for i in range(n - 1):
+            # Z_e = inv(T_i) @ T_j = E_i @ inv(E_j): camera_j -> camera_i
+            ei.append(i)
+            ej.append(i + 1)
+            Zs.append(ext_chain[i] @ invert_se3(ext_chain[i + 1]))
+            ws.append(1.0)
+    elif front_end == "icp":
+        ext = np.asarray(extrinsics, np.float64)
+        frames = [_frame_points_normals(jnp.asarray(depths[k]), intr, stride)
+                  for k in range(n)]
+        chain = [invert_se3(ext[0])]
+        for i in range(n - 1):
+            pi, ni, vi = frames[i]
+            pj, _, vj = frames[i + 1]
+            prior_rel = ext[i] @ invert_se3(ext[i + 1])
+            M, fit, rmse = _register_pair(pi, ni, vi, pj, vj, prior_rel)
+            # trust region: keep the odometry prior on failed registrations
+            dT = M @ invert_se3(prior_rel)
+            d_rot = np.arccos(np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1))
+            if (d_rot > 0.2 or np.linalg.norm(dT[:3, 3]) > 0.2 or fit < 0.3):
+                M = prior_rel
+            ei.append(i)
+            ej.append(i + 1)
+            Zs.append(M)
+            ws.append(1.0)
+            fitness.append(fit)
+            rmses.append(rmse)
+            chain.append(chain[-1] @ M)
+        ext_chain = np.stack([invert_se3(t) for t in chain])
+    else:
+        raise ValueError(f"unknown front_end {front_end!r}")
+
+    loops = detect_loop_closures(depths, ext_chain, intr, stride=stride,
+                                 min_gap=min_gap, radius=loop_radius,
+                                 max_pairs=max_loop_pairs)
+    for i, j, M, fit in loops:
+        ei.append(i)
+        ej.append(j)
+        Zs.append(M)
+        ws.append(2.0)      # loop edges weigh more: they carry global truth
+
+    poses0 = jnp.asarray(
+        np.stack([invert_se3(e) for e in ext_chain]).astype(np.float32))
+    res = optimize_pose_graph(
+        poses0, jnp.asarray(np.array(ei, np.int32)),
+        jnp.asarray(np.array(ej, np.int32)),
+        jnp.asarray(np.stack(Zs).astype(np.float32)),
+        jnp.asarray(np.array(ws, np.float32)), num_iters=num_iters)
+    T_opt = np.asarray(res.poses, np.float64)
+    ext_out = np.stack([invert_se3(t) for t in T_opt]).astype(np.float32)
+
+    vol = integrate_frames_sparse(
+        make_block_volume(cfg.tsdf), jnp.asarray(depths),
+        jnp.asarray(colors), jnp.asarray(ext_out), intr,
+        max_active=max_active)
+    return RefineResult(ext_out, vol, fitness, rmses)
 
 
 def trajectory_error(ext_est, ext_gt):
