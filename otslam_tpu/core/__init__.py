@@ -11,3 +11,11 @@ from otslam_tpu.core.se3 import (  # noqa: F401
 )
 from otslam_tpu.core.pointcloud import PointCloud  # noqa: F401
 from otslam_tpu.core.grid import OccupancyGrid2D  # noqa: F401
+from otslam_tpu.core.mesh_io import (  # noqa: F401
+    TriMesh,
+    load_mesh,
+    read_obj,
+    read_stl,
+    read_dae,
+    sample_mesh_surface,
+)

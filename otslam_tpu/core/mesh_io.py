@@ -1,0 +1,210 @@
+"""Triangle-mesh ingestion: OBJ / STL / DAE readers + surface sampling.
+
+The reference builds its evaluation ground truth by loading simulation mesh
+assets with trimesh and sampling 50k surface points with per-asset scale and
+placement (eval_table_chair.py:66-88 — table_lightmap.dae + Chair.obj;
+eval_cone.py:20-21 — cone.stl). trimesh/Open3D are not dependencies here, so
+this module provides native readers for exactly the formats those assets use:
+
+- OBJ: `v`/`f` records, polygonal faces fan-triangulated, `a/b/c` index
+  syntax, negative (relative) indices.
+- STL: binary (80-byte header + u32 count + 50-byte records) and ASCII,
+  auto-detected the way real parsers do (by record arithmetic, not by the
+  "solid" prefix, which binary exporters also emit).
+- DAE (COLLADA): library_geometries meshes — <float_array> sources, the
+  POSITION input of <vertices>, and <triangles>/<polylist> primitives with
+  multi-input index strides; per-geometry and scene-node transforms are NOT
+  applied (the reference applies placement itself after loading — see
+  eval/scenarios.load_and_scale_gt).
+
+Sampling is area-weighted uniform over triangles with a seeded generator,
+mirroring ``trimesh.sample`` semantics (eval_table_chair.py:73).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+import xml.etree.ElementTree as ET
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+
+class TriMesh(NamedTuple):
+    vertices: np.ndarray   # (V, 3) f64
+    faces: np.ndarray      # (F, 3) i64
+
+
+def _fan(indices: Sequence[int]) -> list:
+    """Fan-triangulate a polygon index list."""
+    return [(indices[0], indices[i], indices[i + 1])
+            for i in range(1, len(indices) - 1)]
+
+
+def read_obj(path: str) -> TriMesh:
+    """Wavefront OBJ (vertices + faces; normals/uvs/materials ignored)."""
+    verts, faces = [], []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]),
+                              float(parts[3])])
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    k = int(tok.split("/")[0])
+                    idx.append(k - 1 if k > 0 else len(verts) + k)
+                faces.extend(_fan(idx))
+    if not verts or not faces:
+        raise ValueError(f"no triangle data in OBJ {path!r}")
+    return TriMesh(np.asarray(verts, np.float64),
+                   np.asarray(faces, np.int64))
+
+
+def _read_stl_binary(data: bytes) -> TriMesh:
+    n = struct.unpack_from("<I", data, 80)[0]
+    rec = np.frombuffer(data, dtype=np.uint8, count=50 * n, offset=84)
+    rec = rec.reshape(n, 50)
+    tri = rec[:, 12:48].copy().view("<f4").reshape(n, 3, 3).astype(np.float64)
+    verts = tri.reshape(-1, 3)
+    faces = np.arange(3 * n, dtype=np.int64).reshape(n, 3)
+    return TriMesh(verts, faces)
+
+
+def _read_stl_ascii(text: str) -> TriMesh:
+    coords = re.findall(
+        r"vertex\s+([^\s]+)\s+([^\s]+)\s+([^\s]+)", text)
+    if not coords or len(coords) % 3:
+        raise ValueError("malformed ASCII STL")
+    verts = np.asarray(coords, np.float64)
+    faces = np.arange(len(verts), dtype=np.int64).reshape(-1, 3)
+    return TriMesh(verts, faces)
+
+
+def read_stl(path: str) -> TriMesh:
+    """STL, binary or ASCII auto-detected by record arithmetic."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) >= 84:
+        n = struct.unpack_from("<I", data, 80)[0]
+        if 84 + 50 * n == len(data) and n > 0:
+            return _read_stl_binary(data)
+    return _read_stl_ascii(data.decode("ascii", errors="replace"))
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def read_dae(path: str) -> TriMesh:
+    """COLLADA .dae: concatenation of all library_geometries meshes.
+
+    Supports <triangles> and <polylist> primitives with arbitrary input
+    strides; applies COLLADA's up-axis-free raw coordinates (the caller owns
+    orientation/scale, as the reference eval scripts do).
+    """
+    root = ET.parse(path).getroot()
+    all_v, all_f = [], []
+    base = 0
+    for geom in root.iter():
+        if _strip_ns(geom.tag) != "geometry":
+            continue
+        for mesh in geom:
+            if _strip_ns(mesh.tag) != "mesh":
+                continue
+            sources = {}
+            vertices_src = {}
+            for child in mesh:
+                tag = _strip_ns(child.tag)
+                if tag == "source":
+                    arr = None
+                    for sub in child:
+                        if _strip_ns(sub.tag) == "float_array":
+                            arr = np.asarray((sub.text or "").split(),
+                                             np.float64)
+                    if arr is not None:
+                        sources["#" + child.get("id", "")] = arr
+                elif tag == "vertices":
+                    vid = "#" + child.get("id", "")
+                    for sub in child:
+                        if (_strip_ns(sub.tag) == "input"
+                                and sub.get("semantic") == "POSITION"):
+                            vertices_src[vid] = sub.get("source")
+            for prim in mesh:
+                tag = _strip_ns(prim.tag)
+                if tag not in ("triangles", "polylist"):
+                    continue
+                v_offset, stride, pos_source = 0, 1, None
+                for sub in prim:
+                    if _strip_ns(sub.tag) == "input":
+                        stride = max(stride, int(sub.get("offset", 0)) + 1)
+                        if sub.get("semantic") == "VERTEX":
+                            v_offset = int(sub.get("offset", 0))
+                            pos_source = vertices_src.get(sub.get("source"),
+                                                          sub.get("source"))
+                if pos_source is None or pos_source not in sources:
+                    continue
+                verts = sources[pos_source].reshape(-1, 3)
+                p_el = [s for s in prim if _strip_ns(s.tag) == "p"]
+                if not p_el:
+                    continue
+                p = np.asarray(" ".join(e.text or "" for e in p_el).split(),
+                               np.int64)
+                vidx = p.reshape(-1, stride)[:, v_offset]
+                if tag == "polylist":
+                    vc_el = [s for s in prim if _strip_ns(s.tag) == "vcount"]
+                    vcount = np.asarray((vc_el[0].text or "").split(),
+                                        np.int64) if vc_el else None
+                    faces = []
+                    pos = 0
+                    if vcount is None:
+                        faces = vidx.reshape(-1, 3).tolist()
+                    else:
+                        for c in vcount:
+                            faces.extend(_fan(vidx[pos:pos + c].tolist()))
+                            pos += c
+                    faces = np.asarray(faces, np.int64)
+                else:
+                    faces = vidx.reshape(-1, 3)
+                all_v.append(verts)
+                all_f.append(faces + base)
+                base += len(verts)
+    if not all_v:
+        raise ValueError(f"no triangle geometry in DAE {path!r}")
+    return TriMesh(np.concatenate(all_v), np.concatenate(all_f))
+
+
+_READERS = {".obj": read_obj, ".stl": read_stl, ".dae": read_dae}
+
+
+def load_mesh(path: str) -> TriMesh:
+    """Load a triangle mesh by extension (.obj / .stl / .dae)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _READERS:
+        raise ValueError(f"unsupported mesh format {ext!r} ({path})")
+    return _READERS[ext](path)
+
+
+def sample_mesh_surface(mesh: TriMesh, n: int, seed: int = 0) -> np.ndarray:
+    """Area-weighted uniform surface sampling (trimesh.sample semantics:
+    eval_table_chair.py:73 samples 50k points per asset)."""
+    v = mesh.vertices
+    f = mesh.faces
+    a = v[f[:, 0]]
+    b = v[f[:, 1]]
+    c = v[f[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    total = areas.sum()
+    if total <= 0:
+        raise ValueError("degenerate mesh: zero surface area")
+    rng = np.random.default_rng(seed)
+    tri = rng.choice(len(f), size=n, p=areas / total)
+    u = rng.random((n, 1))
+    w = rng.random((n, 1))
+    flip = (u + w) > 1.0
+    u = np.where(flip, 1.0 - u, u)
+    w = np.where(flip, 1.0 - w, w)
+    return a[tri] + u * (b[tri] - a[tri]) + w * (c[tri] - a[tri])
