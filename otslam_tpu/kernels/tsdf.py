@@ -225,6 +225,8 @@ def extract_surface_points(vol: TSDFVolume, capacity: int = 1_000_000,
     # grid scale (measured 478 ms -> 165 ms at 50M entries); same ascending
     # index order and 0-fill semantics
     sel = jnp.argsort(~flat_mask, stable=True)[:capacity]
+    if sel.shape[0] < capacity:  # capacity exceeds the grid's crossing slots
+        sel = jnp.pad(sel, (0, capacity - sel.shape[0]))
     out_mask = jnp.arange(capacity) < count
     sel = jnp.where(out_mask, sel, 0)
 

@@ -435,6 +435,8 @@ def extract_surface_points_sparse(vol: BlockTSDFVolume,
     # stable argsort compaction (see tsdf.extract_surface_points): faster than
     # nonzero(size=...) on TPU, same ascending order and 0-fill semantics
     sel = jnp.argsort(~flat_mask, stable=True)[:capacity]
+    if sel.shape[0] < capacity:  # capacity exceeds the block crossing slots
+        sel = jnp.pad(sel, (0, capacity - sel.shape[0]))
     out_mask = jnp.arange(capacity) < count
     sel = jnp.where(out_mask, sel, 0)
 

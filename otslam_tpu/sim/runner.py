@@ -57,7 +57,8 @@ class MissionRunner:
                  map_resolution: float = 0.05,
                  nav_failure_rate: float = 0.0,
                  camera_failure_rate: float = 0.0, fault_seed: int = 0,
-                 odom_noise_per_m: float = 0.0, use_localizer: bool = False):
+                 odom_noise_per_m: float = 0.0, use_localizer: bool = False,
+                 perception_batch: int = 1):
         self.cfg = cfg or OTSLAMConfig()
         # fault injection (failure-detection behaviors under test)
         self.nav_failure_rate = nav_failure_rate
@@ -80,6 +81,11 @@ class MissionRunner:
         self._odom_drift = np.zeros(3)  # (dx, dy, dyaw)
         self._localizer = None
         self.pose_estimate = (self.x, self.y, self.yaw)
+        # >1 fuses that many perception ticks into ONE device dispatch
+        # (mapping/perception.py) — amortizes the ~29 ms per-dispatch RTT of
+        # the remote-TPU tunnel; the robot is stationary between control
+        # decisions, so batched semantics match the sequential path exactly
+        self.perception_batch = max(1, int(perception_batch))
 
         self.vscanner = VirtualScanner(self.cfg.lidar)
         self.vscanner.set_map(scene_map.occupancy_grid(map_resolution))
@@ -200,8 +206,54 @@ class MissionRunner:
         virt = self.vscanner.scan(*self.pose_estimate)
         self.detector.on_virtual_scan(virt)
         self.detector.on_scan(real, angles, self.pose_estimate, self.t)
-        self.tracker.update(self.detector.added_objects(), self.t)
-        self.removed_tracker.update(self.detector.removed_objects(), self.t)
+        self._post_perception(self.detector.added_objects(),
+                              self.detector.removed_objects())
+
+    def perception_tick_batch(self, k: int) -> None:
+        """K stationary perception ticks in ONE device dispatch
+        (mapping/perception.perception_ticks). The robot does not move
+        between control decisions, so the scan/pose are constant across the
+        batch; evidence time steps replicate the sequential bookkeeping
+        exactly (including the large post-navigation dt)."""
+        import jax.numpy as jnp
+
+        from otslam_tpu.mapping.perception import perception_ticks
+
+        dt = 1.0 / self.cfg.lidar.rate_hz
+        angles = self.vscanner.angles()
+        real = render_lidar(self.scene_world, self.x, self.y, self.yaw,
+                            angles, self.cfg.lidar.range_min,
+                            self.cfg.lidar.range_max)
+        self.pose_estimate = self._estimate_pose(real, angles)
+        times = self.t + dt * (1.0 + np.arange(k))
+        last = self.detector._last_time
+        dts = np.diff(np.concatenate(
+            [[times[0] if last is None else last], times]))
+        g = self.vscanner._map
+        batch = perception_ticks(
+            g.data, float(g.resolution), float(g.origin[0]),
+            float(g.origin[1]), self.detector.new_grid,
+            self.detector.gone_grid, jnp.tile(jnp.asarray(real)[None], (k, 1)),
+            jnp.tile(jnp.asarray(self.pose_estimate, jnp.float32)[None],
+                     (k, 1)),
+            jnp.asarray(dts, jnp.float32), angles, self.detector.cfg,
+            float(self.cfg.lidar.range_max))
+        self.detector.new_grid = batch.new_grid
+        self.detector.gone_grid = batch.gone_grid
+        self.detector._last_time = float(times[-1])
+        self.detector._last_virtual = batch.virtual[-1]
+        apts = np.asarray(batch.added_pts)
+        acnt = np.asarray(batch.added_cnt)
+        rpts = np.asarray(batch.removed_pts)
+        rcnt = np.asarray(batch.removed_cnt)
+        for i in range(k):
+            self.t = float(times[i])
+            self._post_perception(apts[i][:acnt[i]], rpts[i][:rcnt[i]])
+
+    def _post_perception(self, added: np.ndarray, removed: np.ndarray):
+        """Host-side control-plane updates after one perception tick."""
+        self.tracker.update(added, self.t)
+        self.removed_tracker.update(removed, self.t)
 
         self.sender.on_odom(self.pose_estimate[0], self.pose_estimate[1])
         self.sender.on_added_points(
@@ -230,11 +282,18 @@ class MissionRunner:
         min_ticks gives detection + tracker stabilization time (dwell
         time_threshold + stability_time) before an idle loop may terminate.
         """
-        for _ in range(settle_ticks):
-            self.perception_tick()
+        pb = self.perception_batch
+        for _ in range(0, settle_ticks, pb):
+            if pb > 1:
+                self.perception_tick_batch(min(pb, settle_ticks))
+            else:
+                self.perception_tick()
         idle_ticks = 0
-        for tick in range(max_ticks):
-            self.perception_tick()
+        for tick in range(0, max_ticks, pb):
+            if pb > 1:
+                self.perception_tick_batch(pb)
+            else:
+                self.perception_tick()
             goal = self.sender.control_step()
             if goal is not None:
                 if self.manager.on_goal(goal):

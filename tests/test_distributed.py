@@ -75,3 +75,112 @@ class TestChamferSharded:
         got = chamfer_data_parallel(src, dst, mesh, chunk=256)
         want = jnp.mean(nn_distance(src, dst, chunk=256))
         np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+class TestHierarchicalMesh:
+    """2-level (dcn, ici) mesh: hierarchical psum (ici first, then dcn)."""
+
+    def test_matches_single_chip(self, eight_devices):
+        from otslam_tpu.distributed.sharding import fuse_frames_hierarchical
+        mesh = make_mesh((4, 2), ("dcn", "ici"), eight_devices)
+        d, c, e = frames(8)
+        vol = fuse_frames_hierarchical(d, c, e, INTR, CFG, mesh)
+        ref = integrate_frames(make_volume(CFG), d, c, e, INTR)
+        np.testing.assert_allclose(np.asarray(vol.weight),
+                                   np.asarray(ref.weight), atol=0)
+        np.testing.assert_allclose(np.asarray(vol.tsdf),
+                                   np.asarray(ref.tsdf), atol=1e-5)
+
+    def test_2x4_shape(self, eight_devices):
+        from otslam_tpu.distributed.sharding import fuse_frames_hierarchical
+        mesh = make_mesh((2, 4), ("dcn", "ici"), eight_devices)
+        d, c, e = frames(16)
+        vol = fuse_frames_hierarchical(d, c, e, INTR, CFG, mesh)
+        ref = integrate_frames(make_volume(CFG), d, c, e, INTR)
+        np.testing.assert_allclose(np.asarray(vol.tsdf),
+                                   np.asarray(ref.tsdf), atol=1e-5)
+
+
+class TestObjectParallel:
+    """Object-axis sharding: one object per device, zero collectives."""
+
+    def test_matches_serial_per_object(self, eight_devices):
+        from otslam_tpu.distributed.sharding import fuse_objects_parallel
+        import dataclasses as dc
+        mesh = make_mesh((8,), ("data",), eight_devices)
+        rngs = np.random.default_rng(0)
+        O, N = 8, 4
+        depths = np.stack([
+            np.full((N, 48, 64), 0.42 + 0.02 * o, np.float32)
+            for o in range(O)])
+        colors = np.full((O, N, 48, 64, 3), 120.0, np.float32)
+        exts = np.tile(np.eye(4, dtype=np.float32)[None, None], (O, N, 1, 1))
+        origins = np.asarray(
+            [(-0.64 + 0.1 * o, -0.64, -0.64) for o in range(O)], np.float32)
+
+        tsdf, weight, color = fuse_objects_parallel(
+            jnp.asarray(depths), jnp.asarray(colors), jnp.asarray(exts),
+            jnp.asarray(origins), INTR, CFG, mesh)
+        for o in range(O):
+            cfg_o = dc.replace(CFG, origin=tuple(map(float, origins[o])))
+            ref = integrate_frames(make_volume(cfg_o), jnp.asarray(depths[o]),
+                                   jnp.asarray(colors[o]),
+                                   jnp.asarray(exts[o]), INTR)
+            np.testing.assert_allclose(np.asarray(weight[o]),
+                                       np.asarray(ref.weight), atol=0)
+            np.testing.assert_allclose(np.asarray(tsdf[o]),
+                                       np.asarray(ref.tsdf), atol=1e-4)
+
+    def test_reconstruct_all_sharded_matches_serial(self, eight_devices,
+                                                    tmp_path):
+        """Dataset-level object sharding matches pipeline.reconstruct_object
+        (dense backend) on every object."""
+        from otslam_tpu.config import CameraConfig, ReconstructionConfig
+        from otslam_tpu.distributed.sharding import reconstruct_all_sharded
+        from otslam_tpu.pipeline.dataset import CaptureDataset
+        from otslam_tpu.pipeline.reconstruct import reconstruct_object
+        from otslam_tpu.core.se3 import T_FIX_OPTICAL, invert_se3
+        from otslam_tpu.sim.sensors import look_at_pose, render_rgbd
+        from otslam_tpu.sim.world import Box, Scene
+
+        cam = CameraConfig(width=64, height=48, fx=56.0, fy=56.0,
+                           cx=32.0, cy=24.0)
+        cfg = ReconstructionConfig(
+            camera=cam, tsdf=TSDFConfig(voxel_size=0.02, sdf_trunc=0.08,
+                                        dims=(64, 64, 32),
+                                        origin=(0.0, 0.0, -0.1)),
+            surface_samples=4000)
+        scene = Scene(objects=(
+            Box((1.0, 0.0, 0.15), (0.4, 0.4, 0.3), 0.0, (0.8, 0.4, 0.2),
+                "a"),
+            Box((-1.0, 1.0, 0.1), (0.3, 0.3, 0.2), 0.4, (0.2, 0.4, 0.8),
+                "b")))
+        ds = CaptureDataset(str(tmp_path / "ds"), cam)
+        intr = PinholeIntrinsics.from_config(cam)
+        import jax.numpy as jnp_
+        for k, (center, n_frames) in enumerate(
+                [((1.0, 0.0, 0.15), 4), ((-1.0, 1.0, 0.1), 3)]):
+            for i in range(n_frames):
+                a = 2 * np.pi * i / n_frames
+                eye = np.array([center[0] + 0.9 * np.cos(a),
+                                center[1] + 0.9 * np.sin(a), 0.45])
+                pose = look_at_pose(eye, np.asarray(center))
+                d, c = render_rgbd(scene, pose, intr, far=4.0)
+                # dataset stores the BODY pose; the loader right-multiplies
+                # T_FIX_OPTICAL and inverts to recover this optical extrinsic
+                body = pose @ invert_se3(T_FIX_OPTICAL)
+                ds.save_frame(f"Object_{k}", np.asarray(c).astype(np.uint8),
+                              np.asarray(d), body)
+
+        mesh = make_mesh((8,), ("data",), eight_devices)
+        got = reconstruct_all_sharded(ds, cfg, mesh, seed=3)
+        assert sorted(got) == ["Object_0", "Object_1"]
+        for name, res in got.items():
+            ref = reconstruct_object(ds, name, cfg, backend="dense",
+                                     auto_origin=True, seed=3)
+            assert res.num_frames == ref.num_frames
+            assert abs(res.raw_surface_count - ref.raw_surface_count) \
+                <= 0.01 * ref.raw_surface_count + 5
+            got_c = res.points.mean(axis=0)
+            ref_c = ref.points.mean(axis=0)
+            np.testing.assert_allclose(got_c, ref_c, atol=0.02)

@@ -66,6 +66,94 @@ class TestPallasKernel:
         np.testing.assert_array_equal(np.asarray(s.created), np.asarray(p.created))
 
 
+class TestFullResColor:
+    def test_full_color_matches_gather_path_exactly(self):
+        """color_res='full' reuses the depth one-hot at full resolution —
+        bf16 holds 0..255 integers exactly, so color parity is EXACT."""
+        depths, colors, exts = scene()
+        # a color gradient makes half-res vs full-res distinguishable
+        gx = np.linspace(0, 255, 64, dtype=np.float32)[None, :, None]
+        colors = jnp.asarray(
+            np.broadcast_to(gx, (2, 48, 64, 3)).copy())
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64)
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64,
+                                    interpret=True, color_res="full")
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        m = (ws == wp) & (ws > 0)
+        cs = np.asarray(s.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        cp = np.asarray(p.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        np.testing.assert_allclose(cp[:, m], cs[:, m], atol=2e-3)
+
+    def test_half_color_within_one_pixel(self):
+        """Half-res color error is bounded by one full-res pixel: on a
+        linear gradient that is exactly one gradient step."""
+        depths, colors, exts = scene()
+        gx = np.linspace(0, 255, 64, dtype=np.float32)[None, :, None]
+        colors = jnp.asarray(np.broadcast_to(gx, (2, 48, 64, 3)).copy())
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64)
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64,
+                                    interpret=True, color_res="half")
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        m = (ws == wp) & (ws > 0)
+        cs = np.asarray(s.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        cp = np.asarray(p.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        step = 255.0 / 63.0          # one full-res pixel of this gradient
+        # +1 for the uint8 truncation quantization on each side
+        assert np.abs(cp[:, m] - cs[:, m]).max() <= np.ceil(step) + 1e-3
+
+
+class TestNearField:
+    """Blocks closer than the slab-coverage bound must not lose frames."""
+
+    INTR_BIG = PinholeIntrinsics(256, 256, 200.0, 200.0, 128.0, 128.0)
+    CFG_NEAR = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(32, 32, 32),
+                          origin=(-0.32, -0.32, 0.1))
+
+    def _near_scene(self):
+        # depth plane at 0.3 m: the truncation band creates blocks down to
+        # z ~ 0.22 m, whose projected span exceeds the 128-row slab
+        # (fy*0.16/0.22 = 145 rows) -> exercises the fallback
+        depths = jnp.asarray(
+            np.full((1, 256, 256), 0.30, np.float32))
+        colors = jnp.asarray(np.full((1, 256, 256, 3), 120.0, np.float32))
+        exts = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+        return depths, colors, exts
+
+    def test_fallback_matches_gather_path(self):
+        depths, colors, exts = self._near_scene()
+        s = integrate_frames_sparse(make_block_volume(self.CFG_NEAR), depths,
+                                    colors, exts, self.INTR_BIG,
+                                    max_active=512)
+        p = integrate_frames_pallas(make_block_volume(self.CFG_NEAR), depths,
+                                    colors, exts, self.INTR_BIG,
+                                    max_active=512, interpret=True,
+                                    near_field="fallback")
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        np.testing.assert_array_equal(ws, wp)      # zero lost integrations
+        m = ws > 0
+        np.testing.assert_allclose(np.asarray(p.tsdf)[m],
+                                   np.asarray(s.tsdf)[m], atol=1e-3)
+
+    def test_skip_mode_drops_near_blocks(self):
+        """near_field='skip' documents the round-1 behavior: close blocks
+        silently miss the frame. The fallback test above is what guards the
+        regression; this asserts the scenario actually HAS near blocks."""
+        depths, colors, exts = self._near_scene()
+        s = integrate_frames_sparse(make_block_volume(self.CFG_NEAR), depths,
+                                    colors, exts, self.INTR_BIG,
+                                    max_active=512)
+        p = integrate_frames_pallas(make_block_volume(self.CFG_NEAR), depths,
+                                    colors, exts, self.INTR_BIG,
+                                    max_active=512, interpret=True,
+                                    near_field="skip")
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        assert (ws > wp).sum() > 100               # material coverage hole
+
+
 class TestAutoCapacity:
     def test_union_bound_covers_all_chunks(self):
         """auto_max_active must bound the per-chunk UNION active count — the
