@@ -258,6 +258,21 @@ def _cmd_bench(args):
     bench.main()
 
 
+def _cmd_headline(args):
+    import json
+
+    from otslam_tpu.eval.headline import headline_report
+    from otslam_tpu.sim import world
+
+    scene_fn = {"cardboard": world.cardboard_room,
+                "cone": world.cone_room,
+                "table_chair": world.table_chair_room}[args.scenario]
+    rep = headline_report(args.workdir, scene_fn=scene_fn,
+                          frames_per_object=args.frames,
+                          room_frames=args.room_frames)
+    print(json.dumps(rep, indent=2))
+
+
 def _load_cfg(args):
     from otslam_tpu.config import OTSLAMConfig
     if getattr(args, "config", None):
@@ -334,6 +349,14 @@ def main(argv=None):
 
     sub.add_parser("bench", help="fusion throughput benchmark")
 
+    p = sub.add_parser("headline",
+                       help="selective-vs-dense size/accuracy report")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--scenario", default="cardboard",
+                   choices=["cardboard", "cone", "table_chair"])
+    p.add_argument("--frames", type=int, default=12)
+    p.add_argument("--room-frames", type=int, default=48)
+
     args = ap.parse_args(argv)
     {
         "reconstruct": _cmd_reconstruct,
@@ -347,6 +370,7 @@ def main(argv=None):
         "capture": _cmd_capture,
         "report": _cmd_report,
         "bench": _cmd_bench,
+        "headline": _cmd_headline,
     }[args.cmd](args)
 
 

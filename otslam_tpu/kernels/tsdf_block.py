@@ -329,6 +329,12 @@ def integrate_frames_sparse(vol: BlockTSDFVolume, depths: jnp.ndarray,
     init = (vol.tsdf, vol.weight, vol.color, vol.created)
     (tsdf, weight, color, created), _ = jax.lax.scan(
         init=init, xs=(depths, color_packed, extrinsics), f=step)
+    # compact_ids pads with nb, so every step scatters (garbage) updates into
+    # the dead row; restore the row-nb == 0 invariant that extraction and
+    # neighbor reads rely on.
+    tsdf = tsdf.at[nb].set(0.0)
+    weight = weight.at[nb].set(0.0)
+    color = color.at[nb].set(0.0)
     return BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
                            vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)
 
@@ -424,6 +430,10 @@ def extract_surface_points_sparse(vol: BlockTSDFVolume,
     nxi, nyi, nzi = _neighbor_block_ids(vol, ids)
     t_s = rows4(vol.tsdf, ids)
     w_s = rows4(vol.weight, ids)
+    # padding entries of `ids` all alias the dead row; mask them out so the
+    # extraction is correct even if a caller hands in a volume whose dead row
+    # was dirtied (integration restores it, but keep this self-contained)
+    w_s = w_s * (ids < nb).astype(w_s.dtype)[:, None, None, None]
     t_n = [rows4(vol.tsdf, n) for n in (nxi, nyi, nzi)]
     w_n = [rows4(vol.weight, n) for n in (nxi, nyi, nzi)]
     t_b = jnp.stack([_shift_in(t_s, t_n[a], a) for a in range(3)])  # (3,M,8,8,8)

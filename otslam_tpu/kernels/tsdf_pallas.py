@@ -190,7 +190,7 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
     return kernel
 
 
-FPC = 4  # frames per kernel call (share block row DMAs across frames)
+FPC = 6  # frames per kernel call (share block row DMAs across frames)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -583,5 +583,12 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                 tsdf, weight, color, depths[sel], cpacked, extrinsics[sel],
                 skipped[sel], intr, vol_meta, max_near)
 
+    # compact_ids pads with the dead-row id, so the scans above scatter
+    # garbage into row nb; restore the row-nb == 0 invariant extraction and
+    # neighbor reads rely on.
+    nb = vol.num_blocks
+    tsdf = tsdf.at[nb].set(0.0)
+    weight = weight.at[nb].set(0.0)
+    color = color.at[nb].set(0.0)
     return BlockTSDFVolume(tsdf, weight, color, created, vol.origin,
                            vol.voxel_size, vol.sdf_trunc, vol.grid_blocks)

@@ -86,9 +86,32 @@ class TestSparseIntegration:
         depths, colors, exts = make_wall_frames()
         sparse = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
                                          exts, INTR, max_active=512)
-        # padding row may receive writes but must never corrupt real blocks;
-        # created flag of the dead row stays False
+        # compact_ids pads with the dead-row id, so integration scatters into
+        # row nb mid-scan; the public result must restore it to zero (the
+        # extraction/neighbor-read invariant) and never mark it created
         assert not bool(np.asarray(sparse.created[-1]))
+        assert float(np.abs(np.asarray(sparse.tsdf[-1])).max()) == 0.0
+        assert float(np.abs(np.asarray(sparse.weight[-1])).max()) == 0.0
+
+    def test_dead_row_garbage_regression(self):
+        """Regression: the dead row's phantom world coords (block index one
+        past the +x grid edge) land on valid depth here, so pre-fix the
+        padding entries scattered nonzero garbage into row nb and sparse
+        extraction reported ~64 phantom crossings per padding entry."""
+        from otslam_tpu.kernels.tsdf_block import extract_surface_points_sparse
+        cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(16, 16, 16),
+                         origin=(-0.16, -0.16, 0.25))
+        depths = jnp.full((2, 48, 64), 0.3503, jnp.float32)
+        colors = jnp.full((2, 48, 64, 3), 128.0, jnp.float32)
+        exts = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (2, 4, 4))
+        sparse = integrate_frames_sparse(make_block_volume(cfg), depths,
+                                         colors, exts, INTR, max_active=64)
+        assert float(np.abs(np.asarray(sparse.weight[-1])).max()) == 0.0
+        pts_d, _, m_d = extract_surface_points(block_to_dense(sparse),
+                                               capacity=50_000)
+        pts_s, _, m_s = extract_surface_points_sparse(
+            sparse, capacity=50_000, max_blocks=64)
+        assert int(np.asarray(m_d).sum()) == int(np.asarray(m_s).sum())
 
 
 class TestSparseExtraction:
