@@ -110,6 +110,22 @@ def _block_centers(vol: BlockTSDFVolume):
     return cx, cy, cz
 
 
+_MIP_BIG = 1.0e30  # finite "empty tile" min sentinel: the Pallas classify
+# kernel selects mip values with multiply-reduces, where an inf would turn
+# 0 * inf into NaN; 1e30 behaves like inf in every band/visible comparison
+
+
+def _bf16_conservative(v: jnp.ndarray, is_max: bool) -> jnp.ndarray:
+    """Round mip bounds to bf16-representable f32 values, padded so the
+    rounding can only widen the bound (mins move down, maxes up). Keeps the
+    XLA row-gather select and the Pallas one-hot matmul select (which runs
+    the table through a bf16 MXU dot) numerically identical."""
+    pad = jnp.abs(v) * jnp.float32(2 ** -8)
+    v2 = jnp.where(jnp.isfinite(v), v + (pad if is_max else -pad), v)
+    # preserve the exact 0.0 "no depth" sentinel (has_depth = bmax > 0)
+    return v2.astype(jnp.bfloat16).astype(jnp.float32)
+
+
 def _depth_mips(depth: jnp.ndarray, tile: int = 16):
     """Dilated min/max depth mip, packed for a single row-gather.
 
@@ -117,28 +133,31 @@ def _depth_mips(depth: jnp.ndarray, tile: int = 16):
     are [dmin0, dmax0, dmin1, dmax1, pad...] where level 1 is the tile's 4x4
     parent. Packing both levels in one row means block classification needs
     exactly one row-gather (measured ~12x faster than 4 element-gathers on
-    TPU). Invalid pixels are excluded (min via +inf, max via 0); a 3x3
-    dilation makes border-straddling footprints conservative.
+    TPU). Invalid pixels are excluded (min via the finite _MIP_BIG sentinel,
+    max via 0); a 3x3 dilation makes border-straddling footprints
+    conservative. All bounds are
+    bf16-safe (see _bf16_conservative) so the Pallas classify kernel's
+    matmul select returns the same values.
     """
     H, W = depth.shape
     th, tw = -(-H // tile), -(-W // tile)
     dpad = jnp.pad(depth, ((0, th * tile - H), (0, tw * tile - W)))
     d = dpad.reshape(th, tile, tw, tile)
     valid = d > 0
-    dmin0 = jnp.min(jnp.where(valid, d, jnp.inf), axis=(1, 3))
+    dmin0 = jnp.min(jnp.where(valid, d, _MIP_BIG), axis=(1, 3))
     dmax0 = jnp.max(jnp.where(valid, d, 0.0), axis=(1, 3))
 
     def pool3(m, reducer, pad_val):
         p = jnp.pad(m, 1, constant_values=pad_val)
         stack = jnp.stack([p[i:i + th, j:j + tw] for i in range(3) for j in range(3)])
         return reducer(stack, axis=0)
-    dmin0 = pool3(dmin0, jnp.min, jnp.inf)
+    dmin0 = pool3(dmin0, jnp.min, _MIP_BIG)
     dmax0 = pool3(dmax0, jnp.max, 0.0)
 
     def coarsen(mn, mx, h, w, f):
         """f-x coarser level with 3x3 dilation, broadcast back to level 0."""
         ph, pw = (-h) % f, (-w) % f
-        mn_p = jnp.pad(mn, ((0, ph), (0, pw)), constant_values=jnp.inf)
+        mn_p = jnp.pad(mn, ((0, ph), (0, pw)), constant_values=_MIP_BIG)
         mx_p = jnp.pad(mx, ((0, ph), (0, pw)), constant_values=0.0)
         lh, lw = (h + ph) // f, (w + pw) // f
         mn_c = jnp.min(mn_p.reshape(lh, f, lw, f), axis=(1, 3))
@@ -149,7 +168,7 @@ def _depth_mips(depth: jnp.ndarray, tile: int = 16):
             stack = jnp.stack([p[i:i + lh, j:j + lw]
                                for i in range(3) for j in range(3)])
             return reducer(stack, axis=0)
-        mn_c = pool3(mn_c, jnp.min, jnp.inf)
+        mn_c = pool3(mn_c, jnp.min, _MIP_BIG)
         mx_c = pool3(mx_c, jnp.max, 0.0)
         mn_f = jnp.repeat(jnp.repeat(mn_c, f, 0), f, 1)[:h, :w]
         mx_f = jnp.repeat(jnp.repeat(mx_c, f, 0), f, 1)[:h, :w]
@@ -159,9 +178,33 @@ def _depth_mips(depth: jnp.ndarray, tile: int = 16):
     # the finest adequate level keeps the creation band tight
     dmin1, dmax1 = coarsen(dmin0, dmax0, th, tw, 2)
     dmin2, dmax2 = coarsen(dmin0, dmax0, th, tw, 4)
-    table = jnp.stack([dmin0, dmax0, dmin1, dmax1, dmin2, dmax2], axis=-1)
+    levels = [_bf16_conservative(m, i % 2 == 1) for i, m in
+              enumerate([dmin0, dmax0, dmin1, dmax1, dmin2, dmax2])]
+    table = jnp.stack(levels, axis=-1)
     table = jnp.pad(table.reshape(th * tw, 6), ((0, 0), (0, 2)))
     return table, th, tw
+
+
+def depth_mip_planes(depth: jnp.ndarray, tile: int = 16):
+    """The same six mip bounds as `_depth_mips` laid out as level planes for
+    the Pallas classify kernel: (6*32, tw) bf16, each level's (th, tw) image
+    zero-padded to 32 rows (static sublane-aligned slices in the kernel).
+    Values are identical to the packed table's (both bf16-safe). Also
+    returns the global (gmin, gmax) bounds the too-big-footprint fallback
+    uses (same reduction as _active_blocks)."""
+    table, th, tw = _depth_mips(depth, tile)
+    imgs = table[:, :6].reshape(th, tw, 6)
+    rows = 32
+    assert th <= rows, f"mip height {th} exceeds the kernel's level stride"
+    twp = -(-tw // 128) * 128        # lane-aligned contraction dim
+    # f32 carrier (values are bf16-exact): XLA picks packed layouts for
+    # computed bf16 arrays that Mosaic rejects as dot operands ("Bad lhs
+    # type"); the kernel casts to bf16 in-register instead
+    out = jnp.zeros((6 * rows, twp), jnp.float32)
+    for c in range(6):
+        out = out.at[c * rows:c * rows + th, :tw].set(imgs[:, :, c])
+    gbounds = jnp.stack([jnp.min(table[:, 4]), jnp.max(table[:, 5])])
+    return out, gbounds, th, tw
 
 
 def _active_blocks(vol: BlockTSDFVolume, depth: jnp.ndarray,
@@ -200,10 +243,12 @@ def _active_blocks(vol: BlockTSDFVolume, depth: jnp.ndarray,
     l2 = slack > 2 * tile
     bmin = jnp.where(l2, rows[:, 4], jnp.where(l1, rows[:, 2], rows[:, 0]))
     bmax = jnp.where(l2, rows[:, 5], jnp.where(l1, rows[:, 3], rows[:, 1]))
-    # footprints beyond the coarsest level: be conservative (whole image)
+    # footprints beyond the coarsest level: be conservative (whole image);
+    # global bounds come from the full table (not the gathered subset) so
+    # the Pallas classify kernel can mirror them exactly
     too_big = slack > 4 * tile
-    gmin = jnp.min(rows[:, 4].min())  # dilated level-2 min is a cheap proxy
-    gmax = jnp.max(rows[:, 5].max())
+    gmin = jnp.min(table[:, 4])
+    gmax = jnp.max(table[:, 5])
     bmin = jnp.where(too_big, gmin, bmin)
     bmax = jnp.where(too_big, gmax, bmax)
 
@@ -268,14 +313,16 @@ def _sample_frame(wx, wy, wz, depth, color_packed, extrinsic,
 
 def compact_ids(active: jnp.ndarray, max_active: int, nb: int) -> jnp.ndarray:
     """Compact active block indices to a static capacity, padded with ``nb``
-    (the dead row). Stable argsort of the negated mask is markedly faster on
-    TPU than ``jnp.nonzero(size=...)`` and keeps ids in ascending order."""
-    order = jnp.argsort(~active, stable=True)[:max_active]
-    if order.shape[0] < max_active:  # capacity exceeds the block count
-        order = jnp.pad(order, (0, max_active - order.shape[0]),
-                        constant_values=nb)
-    count = jnp.sum(active.astype(jnp.int32))
-    return jnp.where(jnp.arange(max_active) < count, order, nb).astype(jnp.int32)
+    (the dead row), ids in ascending order. top_k over (id if active else
+    nb) beats both ``jnp.nonzero(size=...)`` and a stable argsort on TPU
+    (top_k is O(n log k) vs the full sort's O(n log^2 n))."""
+    ids = jnp.arange(active.shape[0], dtype=jnp.int32)
+    keys = jnp.where(active, ids, nb)
+    k = min(max_active, active.shape[0])
+    out = -jax.lax.top_k(-keys, k)[0]      # k smallest keys, ascending
+    if k < max_active:                     # capacity exceeds the block count
+        out = jnp.pad(out, (0, max_active - k), constant_values=nb)
+    return out.astype(jnp.int32)
 
 
 def pack_rgb(color: jnp.ndarray) -> jnp.ndarray:

@@ -51,9 +51,32 @@ from otslam_tpu.kernels.tsdf_block import (
     _voxel_world_coords, compact_ids, pack_rgb,
 )
 
+def _cumulative_or(band: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative OR over the frame axis of a (N, NB) bool array.
+
+    A lower-triangular ones matmul on the MXU: ~60x faster than
+    lax.associative_scan(logical_or) at (384, 32768) on TPU (the scan's
+    log-N passes of slice/or/concat are layout-bound). Sums of 0/1 terms
+    accumulate in f32, so > 0 is exact.
+    """
+    n = band.shape[0]
+    tri = jnp.tril(jnp.ones((n, n), jnp.bfloat16))
+    acc = jax.lax.dot_general(tri, band.astype(jnp.bfloat16),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+    return acc > 0
+
+
 BPG = 8  # blocks per grid step (amortizes per-step overhead)
 DEPTH_WIN = 256  # aligned lane window (2 lane tiles); dynamic lane starts
 # must be 128-multiples, so the guaranteed u-coverage is win - 128 centered
+PATCH_ROWS = 128  # depth-slab rows: covers every block at >= ~0.66 m
+# (v-extent fy*0.139/z + alignment slack); closer blocks go through the
+# exact near-field fallback. Tried 112/120: the saved depth-matmul is small
+# and both trigger rare marginal fallbacks on the capture-circle workload,
+# which cost far more (fallback mode's mid-pipeline sync + gather pass)
+# than the matmul saving — 128 keeps near_field="skip" exact there.
 
 
 def _project(e, wx, wy, wz, intr):
@@ -68,27 +91,37 @@ def _project(e, wx, wy, wz, intr):
 
 def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                  patch_rows: int, color_rows: int, nb: int, fpc: int,
-                 full_color: bool):
+                 full_color: bool, grid_blocks, origin, voxel_size):
     """Kernel processing ``fpc`` frames per call: the per-block row DMAs and
     state writes are shared across the frames (the dominant non-matmul
     cost), while each frame contributes its own projection + selection +
     running-mean step, gated by a per-frame active flag (preserving the
     sequential creation semantics exactly).
 
-    Voxel world coordinates arrive as pre-gathered (A, 512) rows (computed
-    once per chunk in XLA — no per-block div/mod skeleton in the kernel),
-    and depth arrives pre-split into bf16 hi/lo images.
+    Voxel world coordinates derive from the block id in-register (scalar
+    div/mod + a hoisted iota split — cheaper than streaming three
+    pre-gathered (A, 512) row arrays in); depth arrives pre-split into bf16
+    hi/lo images.
     """
     H, W = intr.height, intr.width
     H2, W2 = H // 2, W // 2
     win = min(DEPTH_WIN, W)
     V = BLOCK_VOXELS
+    _, gby, gbz = grid_blocks
+    ox, oy, oz = (float(o) for o in origin)
+    vs = float(voxel_size)
 
     def kernel(ids_ref, act_ref, pvf_ref, pvh_ref, puf_ref, e_ref,
-               tsdf_ref, w_ref, col_ref, wx_ref, wy_ref, wz_ref,
+               tsdf_ref, w_ref, col_ref,
                dhi_ref, dlo_ref, cimg_ref, tsdf_out, w_out, col_out):
         step = pl.program_id(0)
         A = ids_ref.shape[0]
+
+        # block-local voxel index split (constant across blocks; hoisted)
+        l = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        lx = l // (BLOCK * BLOCK)
+        ly = (l // BLOCK) % BLOCK
+        lz = l % BLOCK
 
         for j in range(BPG):
             k = step * BPG + j
@@ -96,10 +129,16 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
 
             @pl.when(bid < nb)
             def _():
-                # --- shared per-block state (row DMAs already done) ---
-                wxr = wx_ref[j, :].reshape(1, V)
-                wyr = wy_ref[j, :].reshape(1, V)
-                wzr = wz_ref[j, :].reshape(1, V)
+                # --- voxel world coords from the block id (same op order as
+                # _voxel_world_coords for bit-identical results; cheaper than
+                # streaming three pre-gathered (A, 512) row arrays in) ---
+                ix = bid // (gby * gbz)
+                iy = (bid // gbz) % gby
+                iz = bid % gbz
+                f32 = jnp.float32
+                wxr = ((ix * BLOCK + lx).astype(f32) + 0.5) * vs + ox
+                wyr = ((iy * BLOCK + ly).astype(f32) + 0.5) * vs + oy
+                wzr = ((iz * BLOCK + lz).astype(f32) + 0.5) * vs + oz
                 told = tsdf_ref[j, :].reshape(1, V)
                 wold = w_ref[j, :].reshape(1, V)
                 cold = [col_ref[j, c * V:(c + 1) * V].reshape(1, V)
@@ -196,18 +235,18 @@ FPC = 6  # frames per kernel call (share block row DMAs across frames)
 @functools.partial(jax.jit, static_argnames=(
     "intr", "vol_meta", "patch_rows", "color_rows", "full_color",
     "interpret"))
-def _update_active_blocks(tsdf_rows, w_rows, col_rows, wx_rows, wy_rows,
-                          wz_rows, dhi, dlo, cimg,
+def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
                           ids, act, pvf, pvh, puf, evec,
                           intr: PinholeIntrinsics, vol_meta,
                           patch_rows: int, color_rows: int,
                           full_color: bool, interpret: bool = False):
     """Run the Pallas kernel over compact active-block rows for FPC frames.
 
-    tsdf_rows/w_rows/wx/wy/wz_rows: (A, 512) f32; col_rows: (A, 1536) f32;
+    tsdf_rows/w_rows: (A, 512) f32; col_rows: (A, 1536) f32;
     dhi/dlo: (FPC, H, W) bf16; cimg: (FPC, 3*Hc, Wc) bf16;
     ids: (A,) i32; act/pvf/pvh/puf: (FPC*A,) i32 frame-major;
-    evec: (FPC*12,) f32 (extrinsic rows 0..2 per frame).
+    evec: (FPC*12,) f32 (extrinsic rows 0..2 per frame). Voxel world
+    coordinates are derived from the block id inside the kernel.
     """
     grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
     nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
@@ -216,7 +255,7 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, wx_rows, wy_rows,
     fpc = dhi.shape[0]
 
     kernel = _make_kernel(intr, sdf_trunc, patch_rows, color_rows, nb, fpc,
-                          full_color)
+                          full_color, grid_blocks, origin, voxel_size)
     row_spec = pl.BlockSpec((BPG, BLOCK_VOXELS), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -225,9 +264,6 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, wx_rows, wy_rows,
             row_spec,                                          # tsdf
             row_spec,                                          # weight
             pl.BlockSpec((BPG, 3 * BLOCK_VOXELS), lambda i, *_: (i, 0)),
-            row_spec,                                          # wx
-            row_spec,                                          # wy
-            row_spec,                                          # wz
             pl.BlockSpec(memory_space=pltpu.VMEM),             # dhi
             pl.BlockSpec(memory_space=pltpu.VMEM),             # dlo
             pl.BlockSpec(memory_space=pltpu.VMEM),             # cimg
@@ -250,7 +286,125 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, wx_rows, wy_rows,
         input_output_aliases={6: 0, 7: 1, 8: 2},
         interpret=interpret,
     )(ids, act, pvf, pvh, puf, evec, tsdf_rows, w_rows, col_rows,
-      wx_rows, wy_rows, wz_rows, dhi, dlo, cimg)
+      dhi, dlo, cimg)
+
+
+def _make_classify_kernel(intr: PinholeIntrinsics, vol_meta, tb: int,
+                          th: int, tw: int, tile: int):
+    """Kernel mirroring tsdf_block._active_blocks over a tile of `tb` blocks:
+    the per-block mip-row lookup (a 32k-row gather per frame in XLA, the
+    measured activity bottleneck at 0.22 ms/frame) becomes a one-hot matmul
+    select against the (192, tw) level-plane table in VMEM. The table is
+    bf16-safe (tsdf_block._bf16_conservative), so the selected bounds equal
+    the XLA gather path's bit-for-bit."""
+    grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
+    _, gby, gbz = grid_blocks
+    ox, oy, oz = (float(o) for o in origin)
+    H, W = intr.height, intr.width
+    half = 0.5 * BLOCK * voxel_size
+    r = 0.8661 * BLOCK * voxel_size
+    fmax = max(intr.fx, intr.fy)
+    twp = -(-tw // 128) * 128        # lane-aligned table width
+
+    nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
+    n_tiles = nb // tb
+
+    def kernel(e_ref, g_ref, tbl_ref, band_out, vis_out):
+        f = pl.program_id(0)
+        f32 = jnp.float32
+        e = [e_ref[f * 12 + q] for q in range(12)]
+        gmin = g_ref[f * 2]
+        gmax = g_ref[f * 2 + 1]
+
+        for t in range(n_tiles):  # static tiles: aligned output slices
+            ids = t * tb + jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
+            ix = ids // (gby * gbz)
+            iy = (ids // gbz) % gby
+            iz = ids % gbz
+            cx = ox + ix.astype(f32) * BLOCK * voxel_size + half
+            cy = oy + iy.astype(f32) * BLOCK * voxel_size + half
+            cz = oz + iz.astype(f32) * BLOCK * voxel_size + half
+            px = e[0] * cx + e[1] * cy + e[2] * cz + e[3]
+            py = e[4] * cx + e[5] * cy + e[6] * cz + e[7]
+            pz = e[8] * cx + e[9] * cy + e[10] * cz + e[11]
+
+            in_front = pz > r * 0.5
+            zsafe = jnp.where(pz > 1e-6, pz, 1e-6)
+            u = intr.fx * px / zsafe + intr.cx
+            v = intr.fy * py / zsafe + intr.cy
+            slack = fmax * r / zsafe + 1.0
+            in_frustum = (in_front & (u + slack >= 0) & (u - slack < W)
+                          & (v + slack >= 0) & (v - slack < H))
+            tu0 = jnp.clip((u / tile).astype(jnp.int32), 0, tw - 1)
+            tv0 = jnp.clip((v / tile).astype(jnp.int32), 0, th - 1)
+
+            # one-hot select of the 6 level values at (tv0, tu0) per block
+            iota_u = jax.lax.broadcasted_iota(jnp.int32, (twp, tb), 0)
+            ohu = (iota_u == tu0).astype(jnp.bfloat16)
+            M = jax.lax.dot_general(
+                tbl_ref[0].astype(jnp.bfloat16), ohu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)         # (192, tb)
+            # (DEFAULT precision is exact here: the one-hot selects a single
+            # bf16 value; the package-wide HIGHEST default would demand f32
+            # operands, which Mosaic rejects for bf16 dots)
+            iota_v = jax.lax.broadcasted_iota(jnp.int32, (32, tb), 0)
+            ovT = (iota_v == tv0).astype(f32)
+            vals = [jnp.sum(M[c * 32:(c + 1) * 32] * ovT, axis=0,
+                            keepdims=True) for c in range(6)]
+
+            l1 = slack > tile
+            l2 = slack > 2 * tile
+            bmin = jnp.where(l2, vals[4], jnp.where(l1, vals[2], vals[0]))
+            bmax = jnp.where(l2, vals[5], jnp.where(l1, vals[3], vals[1]))
+            too_big = slack > 4 * tile
+            bmin = jnp.where(too_big, gmin, bmin)
+            bmax = jnp.where(too_big, gmax, bmax)
+
+            has_depth = bmax > 0
+            band = (in_frustum & has_depth
+                    & (pz + r >= bmin - sdf_trunc)
+                    & (pz - r <= bmax + sdf_trunc))
+            visible = in_frustum & has_depth & (pz - r <= bmax + sdf_trunc)
+            band_out[0, :, t * tb:(t + 1) * tb] = band.astype(jnp.int32)
+            vis_out[0, :, t * tb:(t + 1) * tb] = visible.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "vol_meta", "interpret"))
+def _classify_blocks(depths, extrinsics, intr: PinholeIntrinsics, vol_meta,
+                     interpret: bool = False):
+    """(band, visible) bool (N, NB) for a frame batch — the batched
+    equivalent of vmapping tsdf_block._active_blocks, with the mip lookup on
+    the MXU instead of a row gather."""
+    from otslam_tpu.kernels.tsdf_block import depth_mip_planes
+    grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
+    nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
+    n = depths.shape[0]
+    tb = min(4096, nb)
+    tile = 16
+    th, tw = -(-intr.height // tile), -(-intr.width // tile)
+    planes, gbounds = jax.vmap(
+        lambda d: depth_mip_planes(d, tile)[:2])(depths)
+    evec = extrinsics.astype(jnp.float32)[:, :3, :].reshape(n * 12)
+
+    kernel = _make_classify_kernel(intr, vol_meta, tb, th, tw, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, 6 * 32, -(-tw // 128) * 128),
+                               lambda f, *_: (f, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 1, nb), lambda f, *_: (f, 0, 0)),
+                   pl.BlockSpec((1, 1, nb), lambda f, *_: (f, 0, 0))],
+    )
+    out_shape = [jax.ShapeDtypeStruct((n, 1, nb), jnp.int32),
+                 jax.ShapeDtypeStruct((n, 1, nb), jnp.int32)]
+    band, vis = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret)(evec, gbounds.reshape(-1), planes)
+    return (band.reshape(n, nb).astype(bool),
+            vis.reshape(n, nb).astype(bool))
 
 
 @functools.partial(jax.jit, static_argnames=("intr",))
@@ -271,7 +425,7 @@ def _max_active_needed(vol: BlockTSDFVolume, depths, extrinsics,
              jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None], (pad, 1, 1))])
     band_all, visible_all = jax.vmap(
         lambda d, e: _active_blocks(vol, d, e, intr))(depths, extrinsics)
-    created_cum = jax.lax.associative_scan(jnp.logical_or, band_all, axis=0)
+    created_cum = _cumulative_or(band_all)
     created_cum = created_cum | vol.created[:nb][None]
     active = created_cum & visible_all
     union = jnp.any(active.reshape(-1, FPC, nb), axis=1)
@@ -349,67 +503,32 @@ def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
     return jnp.where(all_behind | off_image, True, fits & ~some_behind)
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
-                                              "max_active", "full_color",
-                                              "interpret"),
-                   donate_argnums=(0, 1, 2))
-def _integrate_core(tsdf, weight, color, created_in, depths, colors,
-                    extrinsics, intr: PinholeIntrinsics, vol_meta,
-                    max_active: int, full_color: bool,
-                    interpret: bool = False):
-    """The batched Pallas fusion pass. Returns updated (tsdf, weight, color,
-    created). (frame, block) pairs failing the slab-coverage test are left
-    untouched (handled by the caller's fallback pass)."""
+def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
+                    vol_meta, max_active: int, patch_rows: int, win: int,
+                    n_frames: int, interpret: bool):
+    """Per-chunk block schedule for the fusion scan (traced inline by its
+    callers): activity classification, created evolution (cumulative OR),
+    chunk-union compaction, per-frame act flags at the union ids, patch
+    starts, the exact slab-coverage test, and the uncovered-pair counts.
+
+    depths/extrinsics must already be padded to a multiple of FPC.
+    """
     grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
     nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
     H, W = depths.shape[1:]
-    patch_rows = min(128, H)
-    color_rows = patch_rows if full_color else min(64, H // 2)
-    win = min(DEPTH_WIN, W)
-
-    # pre-split bf16 depth (hi + lo rows reassemble exactly in the matmul)
-    dhi_all = depths.astype(jnp.bfloat16)
-    dlo_all = (depths - dhi_all.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    # quantize to integers first (pack_rgb truncation semantics — the gather
-    # path stores uint8 channels); 0..255 integers are exact in bf16
-    colors_q = jnp.clip(colors, 0, 255).astype(jnp.uint8)
-    if full_color:
-        cimg_all = (colors_q.transpose(0, 3, 1, 2)
-                    .reshape(depths.shape[0], 3 * H, W).astype(jnp.bfloat16))
-    else:
-        cimg_all = (colors_q[:, ::2, ::2, :].transpose(0, 3, 1, 2)
-                    .reshape(depths.shape[0], 3 * (H // 2), W // 2)
-                    .astype(jnp.bfloat16))
-
-    # the creation recurrence is independent of integration, so EVERYTHING
-    # per-frame except the volume update itself precomputes batched outside
-    # the scan: activity, created evolution (cumulative OR), per-chunk
-    # union-active compaction, per-frame activity flags, patch starts, and
-    # the exact coverage test
-    n_frames = depths.shape[0]
-    pad = (-n_frames) % FPC
-    if pad:
-        depths = jnp.concatenate(
-            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
-        dhi_all = jnp.concatenate(
-            [dhi_all, jnp.zeros((pad,) + dhi_all.shape[1:], dhi_all.dtype)])
-        dlo_all = jnp.concatenate(
-            [dlo_all, jnp.zeros((pad,) + dlo_all.shape[1:], dlo_all.dtype)])
-        cimg_all = jnp.concatenate(
-            [cimg_all, jnp.zeros((pad,) + cimg_all.shape[1:],
-                                 cimg_all.dtype)])
-        extrinsics = jnp.concatenate(
-            [extrinsics,
-             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None], (pad, 1, 1))])
     n_total = depths.shape[0]
     n_chunks = n_total // FPC
 
-    dummy = BlockTSDFVolume(tsdf, weight, color, created_in, origin,
-                            voxel_size, sdf_trunc, grid_blocks)
-    band_all, visible_all = jax.vmap(
-        lambda d, e: _active_blocks(dummy, d, e, intr))(depths, extrinsics)
-    created_all = jax.lax.associative_scan(jnp.logical_or, band_all, axis=0)
+    if nb % min(4096, nb) == 0:
+        band_all, visible_all = _classify_blocks(depths, extrinsics, intr,
+                                                 vol_meta, interpret)
+    else:  # tile must divide the block count; rare odd grids fall back
+        dummy = BlockTSDFVolume(None, None, None, created_in, origin,
+                                voxel_size, sdf_trunc, grid_blocks)
+        band_all, visible_all = jax.vmap(
+            lambda d, e: _active_blocks(dummy, d, e, intr))(depths,
+                                                            extrinsics)
+    created_all = _cumulative_or(band_all)
     created_all = created_all | created_in[:nb][None]
     active_all = created_all & visible_all                     # (N, NB)
 
@@ -460,18 +579,108 @@ def _integrate_core(tsdf, weight, color, created_in, depths, colors,
     pvh_all = pvh_all.reshape(n_chunks, FPC * max_active)
     puf_all = puf_all.reshape(n_chunks, FPC * max_active)
     evec_all = E_all[:, :, :3, :].reshape(n_chunks, FPC * 12)
+
+    # uncovered (frame, block) pairs for the caller's fallback: keep in
+    # compact (chunk, frame, slot) form — the full (N, NB) mask is only
+    # expanded (by _expand_skipped) when a fallback actually triggers
+    skipped_c = act_all & ~cov_all                    # (C, FPC, A) at ids
+    skipped_counts = jnp.sum(skipped_c, axis=2, dtype=jnp.int32).reshape(
+        n_total)[:n_frames]
+    return (ids_all, act_kernel, pvf_all, pvh_all, puf_all, evec_all,
+            created_all, skipped_c, skipped_counts)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
+                                              "max_active", "interpret"))
+def near_fallback_counts(created, depths, extrinsics,
+                         intr: PinholeIntrinsics, vol_meta,
+                         max_active: int, interpret: bool = False):
+    """Per-frame count of (frame, block) pairs the Pallas kernel's depth
+    slab cannot cover (the pairs near_field='fallback' integrates via the
+    exact XLA pass). All-zero counts mean near_field='skip' is exact for
+    this batch — the fast path for far-field captures (bench.py uses this
+    to pick the mode without paying the fallback's mid-pipeline sync)."""
+    depths = jnp.asarray(depths)
+    extrinsics = jnp.asarray(extrinsics)
+    H, W = depths.shape[1:]
+    n_frames = depths.shape[0]
+    pad = (-n_frames) % FPC
+    if pad:
+        depths = jnp.concatenate(
+            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
+        extrinsics = jnp.concatenate(
+            [extrinsics,
+             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None],
+                      (pad, 1, 1))])
+    sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
+                            max_active, min(PATCH_ROWS, H),
+                            min(DEPTH_WIN, W), n_frames, interpret)
+    return sched[8]
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
+                                              "max_active", "full_color",
+                                              "interpret"),
+                   donate_argnums=(0, 1, 2))
+def _integrate_core(tsdf, weight, color, created_in, depths, colors,
+                    extrinsics, intr: PinholeIntrinsics, vol_meta,
+                    max_active: int, full_color: bool,
+                    interpret: bool = False):
+    """The batched Pallas fusion pass. Returns updated (tsdf, weight, color,
+    created). (frame, block) pairs failing the slab-coverage test are left
+    untouched (handled by the caller's fallback pass)."""
+    grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
+    nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
+    H, W = depths.shape[1:]
+    patch_rows = min(PATCH_ROWS, H)
+    color_rows = patch_rows if full_color else min(64, H // 2)
+    win = min(DEPTH_WIN, W)
+
+    # pre-split bf16 depth (hi + lo rows reassemble exactly in the matmul)
+    dhi_all = depths.astype(jnp.bfloat16)
+    dlo_all = (depths - dhi_all.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # quantize to integers first (pack_rgb truncation semantics — the gather
+    # path stores uint8 channels); 0..255 integers are exact in bf16
+    colors_q = jnp.clip(colors, 0, 255).astype(jnp.uint8)
+    if full_color:
+        cimg_all = (colors_q.transpose(0, 3, 1, 2)
+                    .reshape(depths.shape[0], 3 * H, W).astype(jnp.bfloat16))
+    else:
+        cimg_all = (colors_q[:, ::2, ::2, :].transpose(0, 3, 1, 2)
+                    .reshape(depths.shape[0], 3 * (H // 2), W // 2)
+                    .astype(jnp.bfloat16))
+
+    # the creation recurrence is independent of integration, so EVERYTHING
+    # per-frame except the volume update itself precomputes batched outside
+    # the scan: activity, created evolution (cumulative OR), per-chunk
+    # union-active compaction, per-frame activity flags, patch starts, and
+    # the exact coverage test
+    n_frames = depths.shape[0]
+    pad = (-n_frames) % FPC
+    if pad:
+        depths = jnp.concatenate(
+            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
+        dhi_all = jnp.concatenate(
+            [dhi_all, jnp.zeros((pad,) + dhi_all.shape[1:], dhi_all.dtype)])
+        dlo_all = jnp.concatenate(
+            [dlo_all, jnp.zeros((pad,) + dlo_all.shape[1:], dlo_all.dtype)])
+        cimg_all = jnp.concatenate(
+            [cimg_all, jnp.zeros((pad,) + cimg_all.shape[1:],
+                                 cimg_all.dtype)])
+        extrinsics = jnp.concatenate(
+            [extrinsics,
+             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None], (pad, 1, 1))])
+    n_total = depths.shape[0]
+    n_chunks = n_total // FPC
+
+    sched = _block_schedule(created_in, depths, extrinsics, intr, vol_meta,
+                            max_active, patch_rows, win, n_frames, interpret)
+    (ids_all, act_kernel, pvf_all, pvh_all, puf_all, evec_all,
+     created_all, skipped_c, skipped_counts) = sched
     dhi_c = dhi_all.reshape((n_chunks, FPC) + dhi_all.shape[1:])
     dlo_c = dlo_all.reshape((n_chunks, FPC) + dlo_all.shape[1:])
     cimg_c = cimg_all.reshape((n_chunks, FPC) + cimg_all.shape[1:])
-
-    # uncovered-pair mask at full-frame resolution for the caller's fallback
-    skipped_c = act_all & ~cov_all                    # (C, FPC, A) at ids
-    nbp1 = nb + 1
-    skipped_full = jnp.zeros((n_chunks, FPC, nbp1), bool)
-    skipped_full = jax.vmap(
-        lambda sf, i, sk: sf.at[:, i].max(sk),
-        in_axes=(0, 0, 0))(skipped_full, ids_all, skipped_c)
-    skipped_full = skipped_full.reshape(n_total, nbp1)[:n_frames, :nb]
 
     def step(carry, frame):
         tsdf, weight, color = carry
@@ -479,11 +688,8 @@ def _integrate_core(tsdf, weight, color, created_in, depths, colors,
         t_rows = jnp.take(tsdf, ids, axis=0)
         w_rows = jnp.take(weight, ids, axis=0)
         c_rows = jnp.take(color, ids, axis=0)
-        vol_stub = BlockTSDFVolume(tsdf, weight, color, created_in, origin,
-                                   voxel_size, sdf_trunc, grid_blocks)
-        wx_rows, wy_rows, wz_rows = _voxel_world_coords(vol_stub, ids)
         t_new, w_new, c_new = _update_active_blocks(
-            t_rows, w_rows, c_rows, wx_rows, wy_rows, wz_rows,
+            t_rows, w_rows, c_rows,
             dhi, dlo, cimg, ids, act, pvf, pvh, puf, evec, intr, vol_meta,
             patch_rows, color_rows, full_color, interpret)
         tsdf = tsdf.at[ids].set(t_new, unique_indices=True)
@@ -496,7 +702,17 @@ def _integrate_core(tsdf, weight, color, created_in, depths, colors,
         (dhi_c, dlo_c, cimg_c, ids_all, act_kernel, pvf_all, pvh_all,
          puf_all, evec_all))
     created = created_in.at[:nb].set(created_all[n_frames - 1])
-    return tsdf, weight, color, created, skipped_full
+    return tsdf, weight, color, created, skipped_counts, skipped_c, ids_all
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "n_frames"))
+def _expand_skipped(skipped_c, ids_all, nb: int, n_frames: int):
+    """(C, FPC, A) compact skip flags at ids -> (n_frames, nb) full mask."""
+    n_chunks, fpc, _ = skipped_c.shape
+    full = jnp.zeros((n_chunks, fpc, nb + 1), bool)
+    full = jax.vmap(lambda sf, i, sk: sf.at[:, i].max(sk))(
+        full, ids_all, skipped_c)
+    return full.reshape(n_chunks * fpc, nb + 1)[:n_frames, :nb]
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta", "max_near"),
@@ -567,15 +783,18 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     extrinsics = jnp.asarray(extrinsics)
     vol_meta = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
 
-    tsdf, weight, color, created, skipped = _integrate_core(
+    (tsdf, weight, color, created, skipped_counts, skipped_c,
+     ids_all) = _integrate_core(
         vol.tsdf, vol.weight, vol.color, vol.created, depths, colors,
         extrinsics, intr, vol_meta, max_active, color_res == "full",
         interpret)
 
     if near_field == "fallback":
-        per_frame = jnp.sum(skipped, axis=1)          # (N,)
-        counts = np.asarray(per_frame)                # host sync (small)
+        counts = np.asarray(skipped_counts)           # host sync (small)
         if counts.max() > 0:
+            nb = vol.num_blocks
+            skipped = _expand_skipped(skipped_c, ids_all, nb,
+                                      depths.shape[0])
             sel = np.nonzero(counts > 0)[0]
             max_near = int(-(-counts.max() // 64) * 64)
             cpacked = jax.vmap(pack_rgb)(colors[sel])

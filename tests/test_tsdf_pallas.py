@@ -183,3 +183,61 @@ class TestAutoCapacity:
             active = np.concatenate([active, np.zeros((pad, nb), bool)])
         unions = active.reshape(-1, FPC, nb).any(axis=1).sum(axis=1)
         assert ma >= unions.max()
+
+
+class TestClassifyKernel:
+    """The Pallas block-activity classifier must equal the XLA gather path
+    bit-for-bit (same bf16-safe mip table values, same comparisons)."""
+
+    def test_matches_active_blocks(self):
+        import jax
+
+        from otslam_tpu.kernels.tsdf_block import _active_blocks
+        from otslam_tpu.kernels.tsdf_pallas import _classify_blocks
+        depths, colors, exts = scene()
+        vol = make_block_volume(CFG)
+        vol_meta = (vol.grid_blocks, vol.origin, vol.voxel_size,
+                    vol.sdf_trunc)
+        b1, v1 = jax.vmap(
+            lambda d, e: _active_blocks(vol, d, e, INTR))(depths, exts)
+        b2, v2 = _classify_blocks(depths, exts, INTR, vol_meta,
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        assert int(np.asarray(b1).sum()) > 0          # scene creates blocks
+
+    def test_cumulative_or_matches_scan(self):
+        import jax
+
+        from otslam_tpu.kernels.tsdf_pallas import _cumulative_or
+        rng = np.random.default_rng(3)
+        band = jnp.asarray(rng.random((37, 513)) < 0.1)
+        ref = jax.lax.associative_scan(jnp.logical_or, band, axis=0)
+        np.testing.assert_array_equal(np.asarray(_cumulative_or(band)),
+                                      np.asarray(ref))
+
+    def test_near_fallback_counts(self):
+        """Counts are zero for this far-field scene (skip mode exact) and
+        positive when a block sits closer than the slab can cover."""
+        from otslam_tpu.kernels.tsdf_pallas import near_fallback_counts
+        depths, colors, exts = scene()
+        vol = make_block_volume(CFG)
+        vol_meta = (vol.grid_blocks, vol.origin, vol.voxel_size,
+                    vol.sdf_trunc)
+        counts = np.asarray(near_fallback_counts(
+            vol.created, depths, exts, INTR, vol_meta, 64, interpret=True))
+        assert counts.shape == (2,)
+        assert counts.max() == 0
+        # frame 1 (identity) creates the band blocks around the z=0.4503
+        # plane (block-center layer z=0.44); frame 2's camera sits 0.075 m
+        # below that layer, so those created blocks are in front
+        # (pz=0.075 > r/2) but have corners behind the camera plane
+        # (pz-0.08 < 1e-3) — the projection-unbounded case the slab cannot
+        # cover
+        near_ext = np.eye(4, dtype=np.float32)
+        near_ext[2, 3] = -0.365
+        counts2 = np.asarray(near_fallback_counts(
+            vol.created, depths,
+            jnp.asarray(np.stack([np.eye(4, dtype=np.float32), near_ext])),
+            INTR, vol_meta, 512, interpret=True))
+        assert counts2[0] == 0 and counts2[1] > 0
