@@ -19,25 +19,127 @@ import jax.numpy as jnp
 _BIG = jnp.float32(3.0e38)
 
 
-@partial(jax.jit, static_argnames=("chunk", "with_index"))
-def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
-                src_mask: jnp.ndarray | None = None,
-                dst_mask: jnp.ndarray | None = None,
-                chunk: int = 4096, with_index: bool = False):
-    """For each src point, distance to (and optionally index of) the nearest
-    dst point.
+def _hilo3(x: jnp.ndarray):
+    """3-way bf16 hi/mid/lo split carried as f32: h+m+l reconstructs x to
+    ~24 mantissa bits, each part bf16-representable, so the MXU's
+    DEFAULT-precision input rounding is lossless. (A 2-way split is NOT
+    enough here: the |a|^2+|b|^2-2ab expansion cancels ~|a|^2-magnitude
+    terms down to nn-distance scale, so ~2^-16 relative error scrambles the
+    argmin; 3-way gives ~2^-24, the same class as Precision.HIGHEST.)
 
-    src (N,3), dst (M,3); masks select valid rows (padded clouds). Invalid
-    src rows get distance 0 and index 0 (mask them downstream). Returns
-    dists (N,) [, indices (N,)].
+    The rounding MUST be lax.reduce_precision, not a bf16 cast round-trip:
+    the platform sets --xla_allow_excess_precision, which elides
+    f32->bf16->f32 cast pairs inside jit, silently collapsing the split to
+    (x, 0, 0) and re-rounding full-f32 operands on the MXU."""
+    def rp(v):
+        return jax.lax.reduce_precision(v, exponent_bits=8, mantissa_bits=7)
+
+    h = rp(x)
+    r = x - h
+    m = rp(r)
+    l = rp(r - m)
+    return h, m, l
+
+
+_SRC_TILE = 256   # src rows per kernel step
+_DST_CHUNK = 1024  # dst lanes per in-kernel dot (tile sizes bounded by the
+# ~16 MB scoped-VMEM stack: dist2 + index candidates at (tile, chunk) f32)
+
+
+def _make_nn_kernel(n_dst_chunks: int, dc: int):
+    """One-dot-per-tile NN search. The entire masked squared-distance tile
+
+        dist2 = |a|^2 + |b|^2 - 2 a.b   (+BIG for masked dst)
+
+    comes out of a SINGLE K=24 MXU pass over 3-way hi/mid/lo split
+    coordinates (see _hilo3): per coordinate the six product pairs
+    (hh, hm, mh, hl, lh, mm) reconstruct a.b to ~2^-24, and the |a|^2 /
+    |b|^2 terms ride along as split-value-times-one slots. One K<=128 pass
+    costs the same MXU time as any other, so the full-precision distance
+    tile is as cheap as a bf16 one. The min/argmin runs on the tile while
+    it is still in VMEM — the XLA scan formulation materializes the (N, M)
+    distance matrix in HBM, which is pure-bandwidth-bound ~10x slower at
+    50k x 50k.
     """
-    n = src.shape[0]
-    m = dst.shape[0]
-    pad = (-m) % chunk
-    dstp = jnp.pad(dst, ((0, pad), (0, 0)))
-    dmask = jnp.ones(m, bool) if dst_mask is None else dst_mask
-    dmaskp = jnp.pad(dmask, (0, pad))
 
+    def kernel(lhs_ref, rhs_ref, bd_out, bi_out):
+        ts = lhs_ref.shape[0]
+        # operands stay f32: their VALUES are bf16-representable, so the
+        # MXU's DEFAULT-precision input rounding is lossless — and explicit
+        # bf16 casts of small-minor-dim tiles miscompute on real Mosaic
+        # (interpret-mode-only-correct), so avoid them
+        lhs = lhs_ref[...]
+        best_d = jnp.full((ts, 1), 3.0e38, jnp.float32)
+        best_i = jnp.zeros((ts, 1), jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ts, dc), 1)
+        for j in range(n_dst_chunks):
+            rhs = rhs_ref[:, j * dc:(j + 1) * dc]
+            dist2 = jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)     # (ts, dc)
+            cmin = jnp.min(dist2, axis=1, keepdims=True)
+            cand = jnp.where(dist2 == cmin, iota + j * dc, jnp.int32(2**30))
+            cidx = jnp.min(cand, axis=1, keepdims=True)
+            take = cmin < best_d
+            best_d = jnp.where(take, cmin, best_d)
+            best_i = jnp.where(take, cidx, best_i)
+        bd_out[...] = best_d
+        bi_out[...] = best_i
+
+    return kernel
+
+
+def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
+    """(best_d2, best_i) via the fused Pallas kernel. dstp is chunk-padded;
+    masked/padded dst columns carry BIG in their d2 terms."""
+    from jax.experimental import pallas as pl
+
+    n, m = src.shape[0], dstp.shape[0]
+    ts, dc = _SRC_TILE, _DST_CHUNK
+    mpad = -(-m // dc) * dc
+    dstp = jnp.pad(dstp, ((0, mpad - m), (0, 0)))
+    dmaskp = jnp.pad(dmaskp, (0, mpad - m))
+    npad = -(-n // ts) * ts
+    srcp = jnp.pad(src, ((0, npad - n), (0, 0)))
+
+    ah, am, al = _hilo3(srcp)
+    s2 = jnp.sum(srcp * srcp, axis=-1, keepdims=True)
+    s2h, s2m, s2l = _hilo3(s2)
+    one = jnp.ones_like(s2)
+    # product pairs (lhs_slot, rhs_slot): (h,h) (h,m) (m,h) (h,l) (l,h)
+    # (m,m) per coordinate + 3 slots of s2*1 + 3 of 1*d2 = K 24
+    lhs = jnp.concatenate([ah, ah, am, ah, al, am,
+                           s2h, s2m, s2l, one, one, one], axis=1)
+
+    bh, bm, bl = _hilo3(dstp)
+    d2 = jnp.sum(dstp * dstp, axis=-1, keepdims=True)
+    d2 = jnp.where(dmaskp[:, None], d2, _BIG)
+    d2h, d2m, d2l = _hilo3(d2)
+    oned = jnp.ones_like(d2)
+    rhs = jnp.concatenate([-2.0 * bh, -2.0 * bm, -2.0 * bh, -2.0 * bl,
+                           -2.0 * bh, -2.0 * bm,
+                           oned, oned, oned, d2h, d2m, d2l],
+                          axis=1).T  # (24, mpad)
+
+    kernel = _make_nn_kernel(mpad // dc, dc)
+    bd, bi = pl.pallas_call(
+        kernel,
+        grid=(npad // ts,),
+        in_specs=[pl.BlockSpec((ts, 24), lambda i: (i, 0)),
+                  pl.BlockSpec((24, mpad), lambda i: (0, 0))],
+        out_specs=[pl.BlockSpec((ts, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((ts, 1), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((npad, 1), jnp.int32)],
+        interpret=interpret,
+    )(lhs, rhs)
+    return bd[:n, 0], bi[:n, 0]
+
+
+def _nn_min_xla(src, dstp, dmaskp, chunk: int):
+    """Reference scan formulation (CPU fallback / parity oracle)."""
+    n = src.shape[0]
     s2 = jnp.sum(src * src, axis=-1)  # (N,)
     nchunks = dstp.shape[0] // chunk
     dst_c = dstp.reshape(nchunks, chunk, 3)
@@ -63,10 +165,45 @@ def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
 
     # carry inherits the inputs' device-varying type (shard_map-compatible)
     zvar = (jnp.zeros((), jnp.float32) * src.reshape(-1)[0]
-            * dst.reshape(-1)[0])
-    init = (jnp.full(n, _BIG) + zvar, jnp.zeros(n, jnp.int32) + zvar.astype(jnp.int32))
+            * dstp.reshape(-1)[0])
+    init = (jnp.full(n, _BIG) + zvar,
+            jnp.zeros(n, jnp.int32) + zvar.astype(jnp.int32))
     bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     (best_d, best_i), _ = jax.lax.scan(body, init, (dst_c, msk_c, bases))
+    return best_d, best_i
+
+
+@partial(jax.jit, static_argnames=("chunk", "with_index", "impl"))
+def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
+                src_mask: jnp.ndarray | None = None,
+                dst_mask: jnp.ndarray | None = None,
+                chunk: int = 4096, with_index: bool = False,
+                impl: str = "auto"):
+    """For each src point, distance to (and optionally index of) the nearest
+    dst point.
+
+    src (N,3), dst (M,3); masks select valid rows (padded clouds). Invalid
+    src rows get distance 0 and index 0 (mask them downstream). Returns
+    dists (N,) [, indices (N,)].
+
+    impl: "auto" uses the fused Pallas kernel on TPU (VMEM-resident distance
+    tiles, ~10x the XLA scan at eval scale) and the XLA scan elsewhere;
+    "pallas" / "xla" force a path (pallas interprets off-TPU).
+    """
+    n = src.shape[0]
+    m = dst.shape[0]
+    pad = (-m) % chunk
+    dstp = jnp.pad(dst, ((0, pad), (0, 0)))
+    dmask = jnp.ones(m, bool) if dst_mask is None else dst_mask
+    dmaskp = jnp.pad(dmask, (0, pad))
+
+    on_tpu = jax.default_backend() != "cpu"
+    use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
+    if use_pallas:
+        best_d, best_i = _nn_min_pallas(src, dstp, dmaskp,
+                                        interpret=not on_tpu)
+    else:
+        best_d, best_i = _nn_min_xla(src, dstp, dmaskp, chunk)
 
     # the |a|^2+|b|^2-2ab expansion loses ~1e-7 relative to cancellation
     # (~3e-4 m at meter scale); recompute the winning pair's distance exactly
@@ -74,7 +211,9 @@ def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
     nearest = jnp.take(dstp, best_i, axis=0)
     diff = src - nearest
     exact = jnp.sum(diff * diff, axis=-1)
-    exact = jnp.where(best_d >= _BIG, best_d, exact)  # no valid dst at all
+    # "no valid dst" sentinel: the pallas path's hi/lo-split BIG can land
+    # slightly below _BIG, so test against half of it
+    exact = jnp.where(best_d >= 0.5 * _BIG, best_d, exact)
     dists = jnp.sqrt(jnp.maximum(jnp.where(smask, exact, 0.0), 0.0))
     if with_index:
         return dists, jnp.where(smask, best_i, 0)

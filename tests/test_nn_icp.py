@@ -75,3 +75,31 @@ class TestICP:
         np.testing.assert_allclose(np.asarray(res.transformation), np.eye(4),
                                    atol=1e-4)
         assert int(res.iterations) <= 3
+
+
+class TestNNPallas:
+    """Fused Pallas NN kernel vs the XLA scan oracle (interpret mode)."""
+
+    def test_matches_xla_path(self, rng):
+        src = jnp.asarray(rng.uniform(-2, 2, (700, 3)).astype(np.float32))
+        dst = jnp.asarray(rng.uniform(-2, 2, (900, 3)).astype(np.float32))
+        d1, i1 = nn_distance(src, dst, with_index=True, impl="xla")
+        d2, i2 = nn_distance(src, dst, with_index=True, impl="pallas")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+    def test_masks_and_empty_dst(self, rng):
+        src = jnp.asarray(rng.uniform(-1, 1, (64, 3)).astype(np.float32))
+        dst = jnp.asarray(rng.uniform(-1, 1, (128, 3)).astype(np.float32))
+        dmask = jnp.asarray(np.arange(128) < 40)
+        d1, i1 = nn_distance(src, dst, dst_mask=dmask, with_index=True,
+                             impl="xla")
+        d2, i2 = nn_distance(src, dst, dst_mask=dmask, with_index=True,
+                             impl="pallas")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        assert int(np.asarray(i2).max()) < 40
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+        # fully-masked dst: sentinel distances survive on both paths
+        none = jnp.zeros(128, bool)
+        d3 = nn_distance(src, dst, dst_mask=none, impl="pallas")
+        assert float(np.asarray(d3).min()) > 1e18
