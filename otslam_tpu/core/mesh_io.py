@@ -88,9 +88,12 @@ def read_stl(path: str) -> TriMesh:
     """STL, binary or ASCII auto-detected by record arithmetic."""
     with open(path, "rb") as f:
         data = f.read()
-    if len(data) >= 84:
+    looks_ascii = data.lstrip()[:5] == b"solid" and b"facet" in data[:512]
+    if len(data) >= 84 and not looks_ascii:
         n = struct.unpack_from("<I", data, 80)[0]
-        if 84 + 50 * n == len(data) and n > 0:
+        # accept trailing bytes after the records (a common exporter
+        # artifact) — only require the declared records to be present
+        if n > 0 and 84 + 50 * n <= len(data):
             return _read_stl_binary(data)
     return _read_stl_ascii(data.decode("ascii", errors="replace"))
 

@@ -130,6 +130,11 @@ def optimize_pose_graph(poses: jnp.ndarray, edges_i: jnp.ndarray,
     f = jnp.float64 if poses.dtype == jnp.float64 else jnp.float32
     poses = poses.astype(f)
     edges_z = edges_z.astype(f)
+    # weight-0 padding may carry an arbitrary (even all-zero, singular) Z;
+    # substitute identity before inverting so the padded residual is a
+    # finite 0 * w rather than NaN poisoning the whole stacked system
+    live = (weights > 0)[:, None, None]
+    edges_z = jnp.where(live, edges_z, jnp.eye(4, dtype=f))
     z_inv = jnp.linalg.inv(edges_z)
     w_sqrt = jnp.sqrt(jnp.maximum(weights.astype(f), 0.0))
 

@@ -407,6 +407,22 @@ def _classify_blocks(depths, extrinsics, intr: PinholeIntrinsics, vol_meta,
             vis.reshape(n, nb).astype(bool))
 
 
+def _pad_to_fpc(extrinsics, *frame_arrays):
+    """Pad a frame batch to a multiple of FPC: zero frames + identity
+    extrinsics (identity frames classify as empty and integrate nothing).
+    Returns (extrinsics, *arrays) padded."""
+    pad = (-extrinsics.shape[0]) % FPC
+    if pad:
+        frame_arrays = tuple(
+            jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            for a in frame_arrays)
+        extrinsics = jnp.concatenate(
+            [extrinsics,
+             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None],
+                      (pad, 1, 1))])
+    return (extrinsics,) + frame_arrays
+
+
 @functools.partial(jax.jit, static_argnames=("intr",))
 def _max_active_needed(vol: BlockTSDFVolume, depths, extrinsics,
                        intr: PinholeIntrinsics):
@@ -415,14 +431,7 @@ def _max_active_needed(vol: BlockTSDFVolume, depths, extrinsics,
     replays the creation recurrence (created |= band; active = created &
     visible) with a cumulative OR — one cheap batched dispatch."""
     nb = vol.num_blocks
-    n = depths.shape[0]
-    pad = (-n) % FPC
-    if pad:
-        depths = jnp.concatenate(
-            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
-        extrinsics = jnp.concatenate(
-            [extrinsics,
-             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None], (pad, 1, 1))])
+    extrinsics, depths = _pad_to_fpc(extrinsics, depths)
     band_all, visible_all = jax.vmap(
         lambda d, e: _active_blocks(vol, d, e, intr))(depths, extrinsics)
     created_cum = _cumulative_or(band_all)
@@ -500,7 +509,11 @@ def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
     off_image = (umax < 0) | (umin > W - 1) | (vmax < 0) | (vmin > H - 1)
     all_behind = n_behind == 8
     some_behind = n_behind > 0
-    return jnp.where(all_behind | off_image, True, fits & ~some_behind)
+    # the off-image shortcut only applies when no corner straddles the
+    # camera plane: a straddling block's in-front corners can project
+    # off-image while interior voxels still sweep through it
+    return jnp.where(all_behind | (off_image & ~some_behind), True,
+                     fits & ~some_behind)
 
 
 def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
@@ -519,10 +532,13 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
     n_total = depths.shape[0]
     n_chunks = n_total // FPC
 
-    if nb % min(4096, nb) == 0:
+    # the classify kernel needs the block tile to divide the block count and
+    # the mip height to fit its 32-row level stride (images <= 512 px tall);
+    # anything else uses the exact XLA classification
+    if nb % min(4096, nb) == 0 and -(-H // 16) <= 32:
         band_all, visible_all = _classify_blocks(depths, extrinsics, intr,
                                                  vol_meta, interpret)
-    else:  # tile must divide the block count; rare odd grids fall back
+    else:
         dummy = BlockTSDFVolume(None, None, None, created_in, origin,
                                 voxel_size, sdf_trunc, grid_blocks)
         band_all, visible_all = jax.vmap(
@@ -604,14 +620,7 @@ def near_fallback_counts(created, depths, extrinsics,
     extrinsics = jnp.asarray(extrinsics)
     H, W = depths.shape[1:]
     n_frames = depths.shape[0]
-    pad = (-n_frames) % FPC
-    if pad:
-        depths = jnp.concatenate(
-            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
-        extrinsics = jnp.concatenate(
-            [extrinsics,
-             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None],
-                      (pad, 1, 1))])
+    extrinsics, depths = _pad_to_fpc(extrinsics, depths)
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
                             max_active, min(PATCH_ROWS, H),
                             min(DEPTH_WIN, W), n_frames, interpret)
@@ -657,20 +666,8 @@ def _integrate_core(tsdf, weight, color, created_in, depths, colors,
     # union-active compaction, per-frame activity flags, patch starts, and
     # the exact coverage test
     n_frames = depths.shape[0]
-    pad = (-n_frames) % FPC
-    if pad:
-        depths = jnp.concatenate(
-            [depths, jnp.zeros((pad,) + depths.shape[1:], depths.dtype)])
-        dhi_all = jnp.concatenate(
-            [dhi_all, jnp.zeros((pad,) + dhi_all.shape[1:], dhi_all.dtype)])
-        dlo_all = jnp.concatenate(
-            [dlo_all, jnp.zeros((pad,) + dlo_all.shape[1:], dlo_all.dtype)])
-        cimg_all = jnp.concatenate(
-            [cimg_all, jnp.zeros((pad,) + cimg_all.shape[1:],
-                                 cimg_all.dtype)])
-        extrinsics = jnp.concatenate(
-            [extrinsics,
-             jnp.tile(jnp.eye(4, dtype=extrinsics.dtype)[None], (pad, 1, 1))])
+    extrinsics, depths, dhi_all, dlo_all, cimg_all = _pad_to_fpc(
+        extrinsics, depths, dhi_all, dlo_all, cimg_all)
     n_total = depths.shape[0]
     n_chunks = n_total // FPC
 

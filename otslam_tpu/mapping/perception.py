@@ -39,20 +39,12 @@ class PerceptionBatch(NamedTuple):
 
 def _compact_confident(dwell, resolution: float, time_threshold: float,
                        max_points: int):
-    """Confident cell centers compacted to a static capacity.
-
-    Same cell-center math as evidence_points (diff_node.cpp:213-214), but
-    returns (max_points, 2) + count instead of a grid-sized mask, so K ticks
-    of detections move host-ward in one small fetch.
-    """
-    GH, GW = dwell.shape
-    conf = (dwell > time_threshold).reshape(-1)
-    ky = jnp.arange(GH)[:, None] - GH // 2
-    kx = jnp.arange(GW)[None, :] - GW // 2
-    cx = kx.astype(jnp.float32) * resolution + resolution / 2.0
-    cy = ky.astype(jnp.float32) * resolution + resolution / 2.0
-    pts = jnp.stack([jnp.broadcast_to(cx, (GH, GW)).reshape(-1),
-                     jnp.broadcast_to(cy, (GH, GW)).reshape(-1)], axis=-1)
+    """Confident cell centers compacted to a static capacity: the
+    evidence_points grid (the single source of the diff_node.cpp:213-214
+    cell-center convention) compacted to (max_points, 2) + count so K ticks
+    of detections move host-ward in one small fetch."""
+    from otslam_tpu.kernels.evidence import evidence_points
+    pts, conf = evidence_points(dwell, resolution, time_threshold)
     sel = jnp.argsort(~conf, stable=True)[:max_points]
     cnt = jnp.minimum(jnp.sum(conf, dtype=jnp.int32), max_points)
     out = jnp.take(pts, sel, axis=0)

@@ -352,11 +352,21 @@ def refine_trajectory_pgo(depths, colors, extrinsics, intr: PinholeIntrinsics,
 
     poses0 = jnp.asarray(
         np.stack([invert_se3(e) for e in ext_chain]).astype(np.float32))
+    # pad edges to a bucketed capacity (weight-0 identity edges are inert)
+    # so varying loop-closure counts don't retrigger a solver recompile
+    ei, ej = np.array(ei, np.int32), np.array(ej, np.int32)
+    Zs, ws = np.stack(Zs).astype(np.float32), np.array(ws, np.float32)
+    cap = -(-len(ws) // 64) * 64
+    pad = cap - len(ws)
+    if pad:
+        ei = np.concatenate([ei, np.zeros(pad, np.int32)])
+        ej = np.concatenate([ej, np.zeros(pad, np.int32)])
+        Zs = np.concatenate([Zs, np.tile(np.eye(4, dtype=np.float32)[None],
+                                         (pad, 1, 1))])
+        ws = np.concatenate([ws, np.zeros(pad, np.float32)])
     res = optimize_pose_graph(
-        poses0, jnp.asarray(np.array(ei, np.int32)),
-        jnp.asarray(np.array(ej, np.int32)),
-        jnp.asarray(np.stack(Zs).astype(np.float32)),
-        jnp.asarray(np.array(ws, np.float32)), num_iters=num_iters)
+        poses0, jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Zs),
+        jnp.asarray(ws), num_iters=num_iters)
     T_opt = np.asarray(res.poses, np.float64)
     ext_out = np.stack([invert_se3(t) for t in T_opt]).astype(np.float32)
 

@@ -230,6 +230,11 @@ class MissionRunner:
         dts = np.diff(np.concatenate(
             [[times[0] if last is None else last], times]))
         g = self.vscanner._map
+        # detection capacity: whole grid when small, else 2048 (~2.5x the
+        # cell count of two 1 m^2 objects at the 5 cm evidence resolution) —
+        # the default 256 could truncate what the sequential path reports
+        cap = int(self.detector.new_grid.shape[0]
+                  * self.detector.new_grid.shape[1])
         batch = perception_ticks(
             g.data, float(g.resolution), float(g.origin[0]),
             float(g.origin[1]), self.detector.new_grid,
@@ -237,7 +242,7 @@ class MissionRunner:
             jnp.tile(jnp.asarray(self.pose_estimate, jnp.float32)[None],
                      (k, 1)),
             jnp.asarray(dts, jnp.float32), angles, self.detector.cfg,
-            float(self.cfg.lidar.range_max))
+            float(self.cfg.lidar.range_max), max_points=min(cap, 2048))
         self.detector.new_grid = batch.new_grid
         self.detector.gone_grid = batch.gone_grid
         self.detector._last_time = float(times[-1])
@@ -283,9 +288,9 @@ class MissionRunner:
         time_threshold + stability_time) before an idle loop may terminate.
         """
         pb = self.perception_batch
-        for _ in range(0, settle_ticks, pb):
+        for done in range(0, settle_ticks, pb):
             if pb > 1:
-                self.perception_tick_batch(min(pb, settle_ticks))
+                self.perception_tick_batch(min(pb, settle_ticks - done))
             else:
                 self.perception_tick()
         idle_ticks = 0

@@ -104,6 +104,15 @@ class TestPoseGraph:
                                     jnp.asarray(w2))
         assert np.allclose(np.asarray(res_a.poses), np.asarray(res_b.poses),
                            atol=1e-4)
+        # all-ZERO Z padding (singular — inv() would be non-finite) must be
+        # equally inert, per the docstring's "0 disables an edge" contract
+        Z3 = np.concatenate([Z, np.zeros((2, 4, 4), np.float32)])
+        res_c = optimize_pose_graph(jnp.asarray(noisy), jnp.asarray(ei2),
+                                    jnp.asarray(ej2), jnp.asarray(Z3),
+                                    jnp.asarray(w2))
+        assert np.isfinite(float(res_c.residual_rmse))
+        assert np.allclose(np.asarray(res_a.poses), np.asarray(res_c.poses),
+                           atol=1e-4)
 
     def test_consistent_graph_stays_put(self, rng):
         """A graph whose poses already satisfy every edge must not move."""
