@@ -42,6 +42,11 @@ def _add_reconstruct(sub):
                    help='explicit frame ranges, e.g. "Object_0:1-16,Object_1:2-9"')
     p.add_argument("--auto-origin", action="store_true",
                    help="center each object's volume on its observed geometry")
+    p.add_argument("--refine", default="none",
+                   choices=["none", "icp", "f2m", "pgo"],
+                   help="trajectory refinement before fusing: frame-to-frame "
+                        "ICP, frame-to-model TSDF tracking, or pose-graph "
+                        "loop closure (drift-robust for capture circles)")
     p.add_argument("--config", default=None, help="config JSON file")
 
 
@@ -59,7 +64,7 @@ def _cmd_reconstruct(args):
     kw = dict(cfg=cfg.reconstruction, backend=args.backend,
               save_dir=save_dir, z_filter=not args.no_z_filter,
               output="mesh" if args.mesh else "cloud",
-              auto_origin=args.auto_origin)
+              auto_origin=args.auto_origin, refine=args.refine)
     if args.ranges:
         ranges = {}
         for part in args.ranges.split(","):

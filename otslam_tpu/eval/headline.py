@@ -163,6 +163,17 @@ def headline_report(workdir: str,
                 float(m_dense.completeness_cm), 3),
         }
 
+    # combined-scene metrics (the eval_table_chair protocol evaluates the
+    # whole proposal cloud against the whole-scene GT, not per object)
+    all_prop = np.concatenate([r.points for r in prop_clouds.values()])
+    gt_all = sample_object_surfaces(list(scene.objects),
+                                    20000 * len(scene.objects), seed=seed)
+    gt_all = gt_all[gt_all[:, 2] >= 0.03]
+    m_all = evaluate_map(all_prop, gt_all)
+    report["combined_accuracy_cm"] = round(float(m_all.accuracy_cm), 3)
+    report["combined_completeness_cm"] = round(
+        float(m_all.completeness_cm), 3)
+
     stats = hybrid_map_size_stats(pgm_path, objdir, dense_path)
     report["hybrid_bytes"] = stats.hybrid_bytes
     report["dense_bytes"] = stats.dense_bytes

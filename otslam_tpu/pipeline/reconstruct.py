@@ -154,13 +154,19 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
                        z_filter: bool = True, seed: int = 0,
                        frame_numbers: Sequence[int] | None = None,
                        output: str = "cloud",
-                       auto_origin: bool = False) -> ReconstructionResult:
+                       auto_origin: bool = False,
+                       refine: str = "none") -> ReconstructionResult:
     """Full per-object pipeline; writes <save_dir>/<obj_name>.ply if asked.
 
     output='cloud': filtered sampled point cloud (reconstruct_rgbd_filter.py);
     output='mesh': welded triangle mesh with vertex normals
     (reconstruct_rgbd.py's extract_triangle_mesh + compute_vertex_normals).
     auto_origin=True centers the volume on the observed geometry per object.
+    refine: trajectory refinement before fusing — 'none' trusts the dataset
+    poses (the reference trusts TF), 'icp' chains frame-to-frame ICP
+    corrections, 'f2m' tracks each frame against the accumulated TSDF, and
+    'pgo' adds loop-closure edges with a pose-graph solve (the drift-robust
+    default for long capture circles).
     """
     import dataclasses as _dc
 
@@ -170,6 +176,13 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
     if auto_origin:
         origin = auto_volume_origin(batch, intr, cfg)
         cfg = _dc.replace(cfg, tsdf=_dc.replace(cfg.tsdf, origin=origin))
+    if refine != "none":
+        from otslam_tpu.pipeline.refine import (
+            refine_trajectory, refine_trajectory_f2m, refine_trajectory_pgo)
+        fn = {"icp": refine_trajectory, "f2m": refine_trajectory_f2m,
+              "pgo": refine_trajectory_pgo}[refine]
+        refined = fn(batch.depths, batch.colors, batch.extrinsics, intr, cfg)
+        batch = _dc.replace(batch, extrinsics=refined.extrinsics)
     vol = fuse_frames(batch.depths, batch.colors, batch.extrinsics, intr,
                       cfg, backend, densify=(output == "mesh"))
     if output == "mesh":

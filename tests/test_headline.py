@@ -26,3 +26,20 @@ def test_headline_size_reduction_and_accuracy(tmp_path):
     assert m["proposal_completeness_cm"] < 1.5
     # report includes the dense-side metrics for the published-table shape
     assert "dense_accuracy_cm" in m and "dense_completeness_cm" in m
+    assert rep["combined_accuracy_cm"] < 1.5
+
+
+def test_headline_multi_object_table_chair(tmp_path):
+    """Whole-scene headline on the 5-object table & chair room: the
+    selective map stays >= 99% smaller AND beats the published combined
+    accuracy (2.63 cm, eval/result_plot.py:9-10)."""
+    from otslam_tpu.sim.world import table_chair_room
+    # the dense sweep needs enough keyframes to stand in for a real dense
+    # map (RTAB-Map's published 169 MB): 40 VGA keyframes ~ 120 MB vs
+    # ~1 MB of sampled object clouds + PGM
+    rep = headline_report(str(tmp_path), scene_fn=table_chair_room,
+                          frames_per_object=8, room_frames=40,
+                          object_samples=6_000)
+    assert len(rep["objects"]) == 5
+    assert rep["size_reduction_percent"] >= rep["reference_claim_percent"]
+    assert rep["combined_accuracy_cm"] < 2.63
