@@ -189,7 +189,9 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                                                pl.ds(puf, win)])
                               for c in range(3)]
                     else:
-                        # half-res bf16 pyramid, whole-width lanes
+                        # half-res bf16 pyramid, whole-width lanes; the 3
+                        # channel slabs concat into ONE M=3*rows dot (three
+                        # M=64 dots leave half of every MXU M-tile idle)
                         iota_wh = jax.lax.broadcasted_iota(
                             jnp.int32, (W2, V), 0)
                         ouh = ((u_r // 2) == iota_wh).astype(jnp.bfloat16)
@@ -197,11 +199,15 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                             jnp.int32, (color_rows, V), 0)
                         ov_c = (((v_r // 2) - pvh) == iota_cr
                                 ).astype(jnp.float32)
-                        Mc = [jax.lax.dot_general(
-                            cimg_ref[f, pl.ds(c * H2 + pvh, color_rows), :],
-                            ouh, dims, preferred_element_type=jnp.float32,
+                        slab3 = jnp.concatenate(
+                            [cimg_ref[f, pl.ds(c * H2 + pvh, color_rows), :]
+                             for c in range(3)], axis=0)
+                        M3 = jax.lax.dot_general(
+                            slab3, ouh, dims,
+                            preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
-                            for c in range(3)]
+                        Mc = [M3[c * color_rows:(c + 1) * color_rows]
+                              for c in range(3)]
                     csel = [jnp.sum(Mc[c] * ov_c, axis=0, keepdims=True)
                             for c in range(3)]
 

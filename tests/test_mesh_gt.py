@@ -54,6 +54,15 @@ class TestReaders:
         assert abs(lo[2]) < 1e-6 and abs(hi[2] - 50.0) < 1e-5
         assert abs(hi[0] - 16.0) < 0.1
 
+    def test_stl_binary_trailing_bytes(self, tmp_path):
+        """Exporters commonly append padding after the records; detection
+        must not fall through to the ASCII parser."""
+        data = open(CONE_STL, "rb").read() + b"\n\x00\x00"
+        p = tmp_path / "pad.stl"
+        p.write_bytes(data)
+        m = read_stl(str(p))
+        assert len(m.faces) == 192
+
     def test_stl_ascii(self, tmp_path):
         p = tmp_path / "tri.stl"
         p.write_text(
