@@ -184,9 +184,10 @@ def _cmd_eval(args):
 
 def _cmd_mission(args):
     import jax
-    if jax.default_backend() != "cpu":
-        print("note: interactive missions are per-tick dispatch-bound on "
-              "remote TPUs; JAX_PLATFORMS=cpu is much faster", flush=True)
+    if jax.default_backend() != "cpu" and args.perception_batch <= 1:
+        print("note: per-tick missions are dispatch-bound on remote TPUs; "
+              "use --perception-batch 8 (fused K-tick perception, one "
+              "dispatch per K ticks) or JAX_PLATFORMS=cpu", flush=True)
     from otslam_tpu.config import OTSLAMConfig, TrackerConfig
     from otslam_tpu.sim.runner import MissionRunner
     from otslam_tpu.sim.world import (
@@ -199,7 +200,8 @@ def _cmd_mission(args):
     runner = MissionRunner(
         scene_map=Scene(objects=()), scene_world=world,
         workdir=args.workdir, cfg=cfg,
-        start_pose=tuple(float(v) for v in args.start.split(",")))
+        start_pose=tuple(float(v) for v in args.start.split(",")),
+        perception_batch=args.perception_batch)
     s = runner.run(max_ticks=args.max_ticks)
     print(json.dumps({
         "missions": s.missions_completed, "frames": s.frames_captured,
@@ -336,6 +338,10 @@ def main(argv=None):
     p.add_argument("--workdir", required=True)
     p.add_argument("--start", default="-2.0,-2.0,0.5")
     p.add_argument("--max-ticks", type=int, default=300)
+    p.add_argument("--perception-batch", type=int, default=1,
+                   help="fuse K perception ticks per device dispatch "
+                        "(amortizes the remote-TPU dispatch RTT; ~166 "
+                        "ticks/s at K=64 vs ~1-2 ticks/s unbatched)")
 
     p = sub.add_parser("capture", help="manual RGB-D capture from a scenario")
     p.add_argument("--scenario", default="cardboard",
