@@ -291,6 +291,13 @@ def _load_cfg(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="otslam",
                                  description="TPU-native OTSLAM framework")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the JAX platform before any device query "
+                         "(use cpu for closed-loop missions on machines "
+                         "whose default device is a remote TPU: per-tick "
+                         "dispatch RTT dominates there; note JAX_PLATFORMS "
+                         "env alone is unreliable under preregistered "
+                         "platform plugins)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     _add_reconstruct(sub)
@@ -369,6 +376,9 @@ def main(argv=None):
     p.add_argument("--room-frames", type=int, default=48)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     {
         "reconstruct": _cmd_reconstruct,
         "check-frame": _cmd_check_frame,

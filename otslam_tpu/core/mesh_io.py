@@ -85,11 +85,17 @@ def _read_stl_ascii(text: str) -> TriMesh:
 
 
 def read_stl(path: str) -> TriMesh:
-    """STL, binary or ASCII auto-detected by record arithmetic."""
+    """STL, binary or ASCII auto-detected by record arithmetic.
+
+    Record arithmetic is tried FIRST regardless of the header prefix: some
+    binary exporters write free-form 80-byte headers starting with
+    "solid ..." (and even containing "facet"), so prefix sniffing alone
+    would mis-parse them as ASCII. Only when the declared record count does
+    not fit the file does the ASCII parser run.
+    """
     with open(path, "rb") as f:
         data = f.read()
-    looks_ascii = data.lstrip()[:5] == b"solid" and b"facet" in data[:512]
-    if len(data) >= 84 and not looks_ascii:
+    if len(data) >= 84:
         n = struct.unpack_from("<I", data, 80)[0]
         # accept trailing bytes after the records (a common exporter
         # artifact) — only require the declared records to be present

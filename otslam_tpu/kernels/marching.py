@@ -98,8 +98,17 @@ def extract_mesh_soup(vol: TSDFVolume, max_cells: int = 131072):
     neg = t_c < 0
     mixed = jnp.any(neg, axis=0) & ~jnp.all(neg, axis=0)
     active = (observed & mixed).reshape(-1)
-    (cells,) = jnp.nonzero(active, size=max_cells, fill_value=0)
+    # top_k compaction (see tsdf_block.compact_ids): ascending active cell
+    # indices padded with 0 — same semantics as nonzero(size=..., fill=0)
+    # but ~3x faster on TPU (the repo's measured lesson, CLAUDE.md)
+    n_all = active.shape[0]
+    keys = jnp.where(active, jnp.arange(n_all, dtype=jnp.int32), n_all)
+    k = min(max_cells, n_all)
+    cells = -jax.lax.top_k(-keys, k)[0]
+    if k < max_cells:
+        cells = jnp.pad(cells, (0, max_cells - k), constant_values=n_all)
     cell_mask = jnp.arange(max_cells) < jnp.sum(active)
+    cells = jnp.where(cell_mask, cells, 0)
 
     # decode cell -> corner voxel indices
     cy = (Y - 1)

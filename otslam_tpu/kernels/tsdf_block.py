@@ -368,9 +368,13 @@ def integrate_frames_sparse(vol: BlockTSDFVolume, depths: jnp.ndarray,
         w3 = jnp.tile(w_rows, (1, 3))
         c_new = (c_rows * w3 + col_obs) / jnp.tile(denom, (1, 3))
 
-        tsdf = tsdf.at[ids].set(t_new, unique_indices=True)
-        weight = weight.at[ids].set(w_new, unique_indices=True)
-        color = color.at[ids].set(c_new, unique_indices=True)
+        # NOTE: no unique_indices — compact_ids pads with the dead-row index
+        # nb repeated, and asserting uniqueness over duplicate indices is
+        # undefined behavior per the JAX scatter docs (every duplicate does
+        # write the identical row, but correctness must not rest on that)
+        tsdf = tsdf.at[ids].set(t_new)
+        weight = weight.at[ids].set(w_new)
+        color = color.at[ids].set(c_new)
         return (tsdf, weight, color, created_new), None
 
     init = (vol.tsdf, vol.weight, vol.color, vol.created)

@@ -512,7 +512,11 @@ def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
     v_hi = jnp.clip(jnp.ceil(vmax) + 1, 0, H - 1)
     fits = ((u_lo >= puf) & (u_hi < puf + win)
             & (v_lo >= pvf) & (v_hi < pvf + patch_rows))
-    off_image = (umax < 0) | (umin > W - 1) | (vmax < 0) | (vmin > H - 1)
+    # off-image must match the kernel's round-to-nearest in_img bounds: a
+    # corner at u in (W-1, W-0.5) still rounds INTO the image, so only
+    # bounds beyond the +-0.5 rounding midpoints are trivially covered
+    off_image = ((umax < -0.5) | (umin >= W - 0.5)
+                 | (vmax < -0.5) | (vmin >= H - 0.5))
     all_behind = n_behind == 8
     some_behind = n_behind > 0
     # the off-image shortcut only applies when no corner straddles the
@@ -695,9 +699,10 @@ def _integrate_core(tsdf, weight, color, created_in, depths, colors,
             t_rows, w_rows, c_rows,
             dhi, dlo, cimg, ids, act, pvf, pvh, puf, evec, intr, vol_meta,
             patch_rows, color_rows, full_color, interpret)
-        tsdf = tsdf.at[ids].set(t_new, unique_indices=True)
-        weight = weight.at[ids].set(w_new, unique_indices=True)
-        color = color.at[ids].set(c_new, unique_indices=True)
+        # no unique_indices: compact_ids pads with duplicate dead-row ids
+        tsdf = tsdf.at[ids].set(t_new)
+        weight = weight.at[ids].set(w_new)
+        color = color.at[ids].set(c_new)
         return (tsdf, weight, color), None
 
     (tsdf, weight, color), _ = jax.lax.scan(
@@ -746,9 +751,10 @@ def _near_fallback(tsdf, weight, color, depths, colors_packed, extrinsics,
         t_new = (t_rows * w_rows + tsdf_obs * w_obs) / denom
         w3 = jnp.tile(w_rows, (1, 3))
         c_new = (c_rows * w3 + col_obs) / jnp.tile(denom, (1, 3))
-        tsdf = tsdf.at[ids].set(t_new, unique_indices=True)
-        weight = weight.at[ids].set(w_new, unique_indices=True)
-        color = color.at[ids].set(c_new, unique_indices=True)
+        # no unique_indices: compact_ids pads with duplicate dead-row ids
+        tsdf = tsdf.at[ids].set(t_new)
+        weight = weight.at[ids].set(w_new)
+        color = color.at[ids].set(c_new)
         return (tsdf, weight, color), None
 
     (tsdf, weight, color), _ = jax.lax.scan(
@@ -765,10 +771,13 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                             near_field: str = "fallback") -> BlockTSDFVolume:
     """Fuse a batch of frames through the Pallas block kernel.
 
-    Same contract as tsdf_block.integrate_frames_sparse; geometry (tsdf,
-    weight) is bit-identical to it. color_res="half" (default) samples color
-    from a half-resolution pyramid (~1-pixel error, faster); "full" samples
-    at full resolution and matches the gather path exactly.
+    Same contract as tsdf_block.integrate_frames_sparse, to bf16-split
+    tolerance (the tested contract: |tsdf| diff <= 1e-3 with <= 1.5%
+    boundary-validity flips — the bf16 hi/lo depth split admits rare
+    sdf-threshold flips; selection itself is exact given identical
+    validity). color_res="half" (default) samples color from a
+    half-resolution pyramid (~1-pixel error, faster); "full" samples at
+    full resolution with the same one-hot selection.
 
     near_field: "fallback" (default) integrates blocks too close to the
     camera for the kernel's depth slab via an exact XLA pass (zero lost

@@ -52,8 +52,13 @@ def _frame_points(depth, intr: PinholeIntrinsics, stride: int = 4,
     pts = jnp.stack([x, y, d], -1).reshape(-1, 3)
     mask = ((d > 0) & (d < max_depth)).reshape(-1)
     if pts.shape[0] > max_points:
-        pts = pts[:max_points]
-        mask = mask[:max_points]
+        # uniform every-kth subsample of the flattened strided grid: keeps
+        # whole-image support (a [:max_points] truncation would feed only
+        # the top rows of the frame into tracking — at VGA/stride 4 that
+        # was the top ~43% of the image)
+        step = -(-pts.shape[0] // max_points)
+        pts = pts[::step]
+        mask = mask[::step]
     return pts, mask
 
 

@@ -305,7 +305,10 @@ class MissionRunner:
                     self.summary.missions_completed += 1
                 idle_ticks = 0
             else:
-                idle_ticks += 1
+                # count in single-tick units (pb ticks elapsed this pass) so
+                # the >10 idle-shutdown threshold keeps its per-tick meaning
+                # under perception batching
+                idle_ticks += pb
                 if (idle_ticks > 10 and self.sender.pending_count() == 0
                         and tick >= min_ticks):
                     break

@@ -63,6 +63,18 @@ class TestReaders:
         m = read_stl(str(p))
         assert len(m.faces) == 192
 
+    def test_stl_binary_with_solid_header(self, tmp_path):
+        """Some binary exporters write free-form 80-byte headers starting
+        with 'solid ... facet ...'; record arithmetic must win over prefix
+        sniffing (regression: the old prefix check mis-parsed as ASCII)."""
+        data = bytearray(open(CONE_STL, "rb").read())
+        hdr = b"solid exported facet mesh"
+        data[:len(hdr)] = hdr
+        p = tmp_path / "solidhdr.stl"
+        p.write_bytes(bytes(data))
+        m = read_stl(str(p))
+        assert len(m.faces) == 192
+
     def test_stl_ascii(self, tmp_path):
         p = tmp_path / "tri.stl"
         p.write_text(

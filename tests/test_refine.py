@@ -125,3 +125,23 @@ class TestReconstructRefineOption:
         # gain at this noise; frame-to-frame ICP's own error floor sits
         # above this small drift, so it is not the asserted path)
         assert acc_f2m < 0.8 * acc_none, (acc_f2m, acc_none)
+
+
+class TestFramePointSampling:
+    def test_whole_image_support_at_vga(self):
+        """_frame_points must subsample uniformly, not truncate: a
+        [:max_points] cut of the row-major flattened VGA grid keeps only the
+        top ~43% of the image (v < ~205 of 480), biasing f2m tracking toward
+        ceiling/far-wall geometry. Regression: fails on the truncating
+        implementation."""
+        from otslam_tpu.pipeline.refine import _frame_points
+
+        intr = PinholeIntrinsics(640, 480, 565.6009, 565.6009, 320.5, 240.5)
+        depth = np.full((480, 640), 2.0, np.float32)
+        pts, mask = _frame_points(depth, intr, stride=4, max_points=8192)
+        assert pts.shape[0] <= 8192
+        y = np.asarray(pts)[np.asarray(mask)][:, 1]
+        # y = (v - cy) / fy * d: whole-image support needs both signs with
+        # magnitude near the image border (|y| ~ 240/565.6*2 ~ 0.85)
+        assert y.min() < -0.6, f"no top-of-image points (ymin={y.min():.2f})"
+        assert y.max() > 0.6, f"no bottom-of-image points (ymax={y.max():.2f})"
