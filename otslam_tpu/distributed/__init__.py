@@ -7,3 +7,8 @@ from otslam_tpu.distributed.sharding import (  # noqa: F401
     reconstruct_all_sharded,
     chamfer_data_parallel,
 )
+from otslam_tpu.distributed.sparse import (  # noqa: F401
+    fuse_frames_sparse_data_parallel,
+    fuse_objects_sparse_parallel,
+    reconstruct_all_sharded_sparse,
+)

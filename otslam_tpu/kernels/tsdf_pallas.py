@@ -637,14 +637,10 @@ def near_fallback_counts(created, depths, extrinsics,
     return sched[8]
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
-                                              "max_active", "full_color",
-                                              "interpret"),
-                   donate_argnums=(0, 1, 2))
-def _integrate_core(tsdf, weight, color, created_in, depths, colors,
-                    extrinsics, intr: PinholeIntrinsics, vol_meta,
-                    max_active: int, full_color: bool,
-                    interpret: bool = False):
+def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
+                         extrinsics, intr: PinholeIntrinsics, vol_meta,
+                         max_active: int, full_color: bool,
+                         interpret: bool = False):
     """The batched Pallas fusion pass. Returns updated (tsdf, weight, color,
     created). (frame, block) pairs failing the slab-coverage test are left
     untouched (handled by the caller's fallback pass)."""
@@ -713,6 +709,12 @@ def _integrate_core(tsdf, weight, color, created_in, depths, colors,
     return tsdf, weight, color, created, skipped_counts, skipped_c, ids_all
 
 
+_integrate_core = functools.partial(
+    jax.jit, static_argnames=("intr", "vol_meta", "max_active", "full_color",
+                              "interpret"),
+    donate_argnums=(0, 1, 2))(_integrate_core_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "n_frames"))
 def _expand_skipped(skipped_c, ids_all, nb: int, n_frames: int):
     """(C, FPC, A) compact skip flags at ids -> (n_frames, nb) full mask."""
@@ -723,11 +725,9 @@ def _expand_skipped(skipped_c, ids_all, nb: int, n_frames: int):
     return full.reshape(n_chunks * fpc, nb + 1)[:n_frames, :nb]
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "vol_meta", "max_near"),
-                   donate_argnums=(0, 1, 2))
-def _near_fallback(tsdf, weight, color, depths, colors_packed, extrinsics,
-                   near_mask, intr: PinholeIntrinsics, vol_meta,
-                   max_near: int):
+def _near_fallback_impl(tsdf, weight, color, depths, colors_packed,
+                        extrinsics, near_mask, intr: PinholeIntrinsics,
+                        vol_meta, max_near: int):
     """XLA gather-path integration of the (frame, block) pairs the kernel's
     depth slab could not cover (close-range blocks). Weighted-mean updates
     commute, so applying them after the main pass is exact."""
@@ -761,6 +761,11 @@ def _near_fallback(tsdf, weight, color, depths, colors_packed, extrinsics,
         step, (tsdf, weight, color),
         (depths, colors_packed, extrinsics, near_mask))
     return tsdf, weight, color
+
+
+_near_fallback = functools.partial(
+    jax.jit, static_argnames=("intr", "vol_meta", "max_near"),
+    donate_argnums=(0, 1, 2))(_near_fallback_impl)
 
 
 def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
