@@ -100,8 +100,78 @@ def write_unit_cube_dae(path):
         out.write(xml)
 
 
+def write_transformed_cube_dae(path):
+    """Gazebo-export-style COLLADA: centimeter units (<unit meter="0.01">)
+    and a visual scene whose node chain carries a <matrix> translation, a
+    nested node with <rotate>/<scale> in document order, and an
+    <instance_node> indirection through library_nodes. A reader that
+    ignores the header/scene (the pre-round-3 one) places the cube at the
+    origin at 100x scale; the correct result is a 2 m x 1 m x 1 m box
+    centered at (1, 0, 0) m:
+
+        world = unit * Matrix(tx=100) @ Rz(90 deg) @ diag(2,1,1) @ v
+        cube +-50 cm  ->  x in [0.5, 1.5], y in [-1, 1], z in [-0.5, 0.5]
+    """
+    pos = [f"{x} {y} {z}" for x in (-50.0, 50.0) for y in (-50.0, 50.0)
+           for z in (-50.0, 50.0)]
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+             (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+    p = " ".join(" ".join(str(i) for i in q) for q in quads)
+    xml = f"""<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset>
+    <unit meter="0.01" name="centimeter"/>
+    <up_axis>Z_UP</up_axis>
+  </asset>
+  <library_geometries>
+    <geometry id="cube" name="cube">
+      <mesh>
+        <source id="cube-pos">
+          <float_array id="cube-pos-array" count="{len(pos) * 3}">{' '.join(pos)}</float_array>
+          <technique_common>
+            <accessor source="#cube-pos-array" count="{len(pos)}" stride="3">
+              <param name="X" type="float"/><param name="Y" type="float"/><param name="Z" type="float"/>
+            </accessor>
+          </technique_common>
+        </source>
+        <vertices id="cube-verts">
+          <input semantic="POSITION" source="#cube-pos"/>
+        </vertices>
+        <polylist count="{len(quads)}">
+          <input semantic="VERTEX" source="#cube-verts" offset="0"/>
+          <vcount>{' '.join('4' for _ in quads)}</vcount>
+          <p>{p}</p>
+        </polylist>
+      </mesh>
+    </geometry>
+  </library_geometries>
+  <library_nodes>
+    <node id="cube-ref" name="cube-ref">
+      <rotate>0 0 1 90</rotate>
+      <scale>2 1 1</scale>
+      <instance_geometry url="#cube"/>
+    </node>
+  </library_nodes>
+  <library_visual_scenes>
+    <visual_scene id="Scene" name="Scene">
+      <node id="placed" name="placed">
+        <matrix>1 0 0 100  0 1 0 0  0 0 1 0  0 0 0 1</matrix>
+        <instance_node url="#cube-ref"/>
+      </node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene>
+    <instance_visual_scene url="#Scene"/>
+  </scene>
+</COLLADA>
+"""
+    with open(path, "w") as out:
+        out.write(xml)
+
+
 if __name__ == "__main__":
     write_unit_cube_obj(os.path.join(HERE, "unit_cube.obj"))
     write_cone_stl(os.path.join(HERE, "cone.stl"))
     write_unit_cube_dae(os.path.join(HERE, "unit_cube.dae"))
+    write_transformed_cube_dae(os.path.join(HERE, "transformed_cube.dae"))
     print("assets written to", HERE)

@@ -29,6 +29,7 @@ from otslam_tpu.sim.world import cardboard_room, cone_room, table_chair_room
 ASSETS = os.path.join(os.path.dirname(__file__), "assets")
 CUBE_OBJ = os.path.join(ASSETS, "unit_cube.obj")
 CUBE_DAE = os.path.join(ASSETS, "unit_cube.dae")
+TRANSFORMED_CUBE_DAE = os.path.join(ASSETS, "transformed_cube.dae")
 CONE_STL = os.path.join(ASSETS, "cone.stl")
 
 DEG = 180.0 / np.pi
@@ -94,6 +95,21 @@ class TestReaders:
         a, b, c = (m.vertices[m.faces[:, k]] for k in range(3))
         area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
         assert abs(area - 6.0) < 1e-6
+
+    def test_dae_scene_transforms_and_units(self):
+        """Gazebo-export-style DAE: <unit meter="0.01"> + a scene node chain
+        (matrix translate -> instance_node -> rotate 90 about z -> scale
+        (2,1,1)) must place the +-50 cm cube as a 2 x 1 x 1 m box centered
+        at (1, 0, 0) m. Regression: the pre-round-3 reader ignored the
+        header and scene, yielding a 100 m cube at the origin."""
+        m = load_mesh(TRANSFORMED_CUBE_DAE)
+        lo, hi = m.vertices.min(0), m.vertices.max(0)
+        np.testing.assert_allclose(lo, [0.5, -1.0, -0.5], atol=1e-9)
+        np.testing.assert_allclose(hi, [1.5, 1.0, 0.5], atol=1e-9)
+        # area of a 2 x 1 x 1 box = 2*(2*1 + 2*1 + 1*1) = 10 m^2
+        a, b, c = (m.vertices[m.faces[:, k]] for k in range(3))
+        area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
+        assert abs(area - 10.0) < 1e-9
 
     def test_unknown_extension(self, tmp_path):
         p = tmp_path / "m.xyz"
