@@ -117,7 +117,45 @@ def main():
         out["perception_unit"] = "ticks/s (1440 beams, 512^2 map, K=64)"
     except Exception as e:
         out["perception_error"] = repr(e)[:120]
+    try:
+        me = measure_mesh_extract(depths[:16], colors[:16], exts[:16],
+                                  intr, cfg)
+        out["mesh_extracts_per_sec"] = me
+        out["mesh_unit"] = "extractions/s (256^3 marching tetrahedra)"
+    except Exception as exc:
+        out["mesh_error"] = repr(exc)[:120]
     print(json.dumps(out))
+
+
+def measure_mesh_extract(d, c, e, intr, cfg) -> float:
+    """Mesh-extraction throughput: marching tetrahedra over the full 256^3
+    dense volume (the reconstruct pipeline's extract stage,
+    reconstruct_rgbd.py:111-112 equivalent). One jitted dispatch per
+    extraction; the active-cell compaction uses the top_k pattern
+    (kernels/marching.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from otslam_tpu.kernels.marching import extract_mesh_soup
+    from otslam_tpu.kernels.tsdf import integrate_frames, make_volume
+
+    vol = make_volume(cfg)
+    vol = integrate_frames(vol, jnp.asarray(d), jnp.asarray(c),
+                           jnp.asarray(e), intr)
+    _ = np.asarray(vol.tsdf[:2, 0, 0])
+
+    def run():
+        return extract_mesh_soup(vol, max_cells=131072)
+
+    _, _, mask = run()
+    _ = np.asarray(mask[:2])
+    best = float("inf")
+    for _i in range(5):
+        t0 = time.time()
+        _, _, mask = run()
+        _ = np.asarray(mask[:2])
+        best = min(best, time.time() - t0)
+    return round(1.0 / best, 1)
 
 
 def measure_perception_ticks(k: int = 64) -> float:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 
@@ -197,17 +198,37 @@ def _cmd_mission(args):
               "table_chair": table_chair_room}
     world = scenes[args.scenario]()
     cfg = OTSLAMConfig(tracker=TrackerConfig.update_pipeline_profile())
-    runner = MissionRunner(
-        scene_map=Scene(objects=()), scene_world=world,
-        workdir=args.workdir, cfg=cfg,
-        start_pose=tuple(float(v) for v in args.start.split(",")),
-        perception_batch=args.perception_batch)
-    s = runner.run(max_ticks=args.max_ticks)
-    print(json.dumps({
-        "missions": s.missions_completed, "frames": s.frames_captured,
-        "stable_objects": s.stable_objects, "sim_time_s": round(s.sim_time, 1),
-        "labels": s.labels, "dataset": os.path.join(args.workdir, "dataset"),
-    }))
+    runs = []
+    for rep in range(max(1, args.repeat)):
+        # fresh runner per repeat (identical mission); repeats share the
+        # in-process jit cache, so run 2+ measures steady-state throughput
+        # without the one-time compile of the fused perception program
+        wd = args.workdir if rep == 0 else f"{args.workdir}_r{rep}"
+        runner = MissionRunner(
+            scene_map=Scene(objects=()), scene_world=world,
+            workdir=wd, cfg=cfg,
+            start_pose=tuple(float(v) for v in args.start.split(",")),
+            perception_batch=args.perception_batch)
+        t0 = time.time()
+        s = runner.run(max_ticks=args.max_ticks)
+        wall = time.time() - t0
+        ticks = len(runner.trace)
+        runs.append({
+            "missions": s.missions_completed, "frames": s.frames_captured,
+            "stable_objects": s.stable_objects,
+            "sim_time_s": round(s.sim_time, 1), "labels": s.labels,
+            "ticks": ticks, "wall_s": round(wall, 2),
+            "ticks_per_sec": round(ticks / wall, 1) if wall > 0 else None,
+        })
+    out = dict(runs[-1])
+    out.update({
+        "dataset": os.path.join(args.workdir, "dataset"),
+        "platform": jax.default_backend(),
+        "perception_batch": args.perception_batch,
+    })
+    if len(runs) > 1:
+        out["runs"] = runs
+    print(json.dumps(out))
 
 
 def _cmd_capture(args):
@@ -349,6 +370,11 @@ def main(argv=None):
                    help="fuse K perception ticks per device dispatch "
                         "(amortizes the remote-TPU dispatch RTT; ~166 "
                         "ticks/s at K=64 vs ~1-2 ticks/s unbatched)")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run the mission N times in-process; run 2+ shares "
+                        "the jit cache and measures steady-state ticks/s "
+                        "(the one-time remote compile dominates a single "
+                        "short mission through the TPU tunnel)")
 
     p = sub.add_parser("capture", help="manual RGB-D capture from a scenario")
     p.add_argument("--scenario", default="cardboard",

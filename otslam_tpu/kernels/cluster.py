@@ -89,6 +89,28 @@ def cluster_scan_points(points: jnp.ndarray, mask: jnp.ndarray,
     return seg, num
 
 
+def cluster_points_host(pts, gap_threshold: float, max_clusters: int = 64):
+    """Host numpy mirror of ``cluster_scan_points`` for all-valid points
+    without wrap-around merging — the control plane's case
+    (3_multi_object_goal_selector.cpp:178-190 clusters tiny per-tick change
+    clouds). Identical labels/num to the kernel (parity-tested); runs in
+    microseconds with zero device round-trips, which matters because every
+    eager dispatch through the remote-TPU tunnel costs ~29 ms and the
+    tracker runs twice per perception tick.
+    """
+    import numpy as _np
+
+    pts = _np.asarray(pts, _np.float32).reshape(-1, 2)
+    n = len(pts)
+    if n == 0:
+        return _np.zeros(0, _np.int32), 0
+    d = _np.hypot(pts[1:, 0] - pts[:-1, 0], pts[1:, 1] - pts[:-1, 1])
+    gap = _np.concatenate([[True], d > gap_threshold])
+    labels = _np.minimum(_np.cumsum(gap) - 1,
+                         max_clusters - 1).astype(_np.int32)
+    return labels, min(int(gap.sum()), max_clusters)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def analyze_clusters(points: jnp.ndarray, labels: jnp.ndarray,
                      cfg: ClusterConfig) -> ClusterStats:

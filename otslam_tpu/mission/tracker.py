@@ -8,8 +8,10 @@ seconds, and pruned if unseen. A freeze flag (the ``set_tracking_mode``
 service) turns updates off while the camera is scanning.
 
 Host-side by design (SURVEY.md §7: the control plane operates on a handful of
-clusters — no need to jit); the per-point clustering math runs through the
-same JAX kernel as the perception stack.
+clusters — no need to jit); the per-tick gap clustering uses the host mirror
+of the perception kernel (cluster_points_host) — dispatching the device
+kernel per tick costs ~2 tunnel round-trips x 2 trackers x K ticks, which
+measured as ~95% of a K=64 mission batch's wall time on the remote chip.
 """
 
 from __future__ import annotations
@@ -18,10 +20,9 @@ from dataclasses import dataclass
 from typing import List, Sequence
 
 import numpy as np
-import jax.numpy as jnp
 
 from otslam_tpu.config import TrackerConfig
-from otslam_tpu.kernels.cluster import cluster_scan_points
+from otslam_tpu.kernels.cluster import cluster_points_host
 
 
 @dataclass
@@ -64,10 +65,8 @@ class ObjectTracker:
         if len(points_map) == 0:
             return []
         pts = np.asarray(points_map, np.float32).reshape(-1, 2)
-        labels, num = cluster_scan_points(
-            jnp.asarray(pts), jnp.ones(len(pts), bool),
-            cfg.cluster_distance_threshold, merge_wraparound=False)
-        labels = np.asarray(labels)
+        labels, num = cluster_points_host(
+            pts, cfg.cluster_distance_threshold)
         obs = []
         for k in range(int(num)):
             member = pts[labels == k]

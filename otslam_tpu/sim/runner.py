@@ -215,6 +215,7 @@ class MissionRunner:
         between control decisions, so the scan/pose are constant across the
         batch; evidence time steps replicate the sequential bookkeeping
         exactly (including the large post-navigation dt)."""
+        import jax
         import jax.numpy as jnp
 
         from otslam_tpu.mapping.perception import perception_ticks
@@ -247,10 +248,11 @@ class MissionRunner:
         self.detector.gone_grid = batch.gone_grid
         self.detector._last_time = float(times[-1])
         self.detector._last_virtual = batch.virtual[-1]
-        apts = np.asarray(batch.added_pts)
-        acnt = np.asarray(batch.added_cnt)
-        rpts = np.asarray(batch.removed_pts)
-        rcnt = np.asarray(batch.removed_cnt)
+        # one transfer round for all four results (separate np.asarray calls
+        # each pay the remote-tunnel RTT)
+        apts, acnt, rpts, rcnt = jax.device_get(
+            (batch.added_pts, batch.added_cnt,
+             batch.removed_pts, batch.removed_cnt))
         for i in range(k):
             self.t = float(times[i])
             self._post_perception(apts[i][:acnt[i]], rpts[i][:rcnt[i]])

@@ -174,6 +174,21 @@ class TestCluster:
                                    atol=1e-6)
         np.testing.assert_allclose(float(st.length[0]), 0.2, atol=1e-6)
 
+    def test_host_mirror_matches_kernel(self, rng):
+        """cluster_points_host (the control plane's zero-dispatch path) must
+        produce identical labels/num to cluster_scan_points on all-valid
+        points without wraparound — the tracker's exact configuration."""
+        from otslam_tpu.kernels.cluster import cluster_points_host
+        for n in (1, 2, 7, 64, 200):
+            pts = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+            hl, hn = cluster_points_host(pts, 0.4)
+            kl, kn = cluster_scan_points(
+                jnp.asarray(pts), jnp.ones(n, bool), 0.4,
+                merge_wraparound=False)
+            assert hn == int(kn), n
+            np.testing.assert_array_equal(hl, np.asarray(kl))
+        assert cluster_points_host(np.zeros((0, 2)), 0.4)[1] == 0
+
     def test_invalid_points_break_adjacency(self):
         pts = np.array([[0.0, 0], [0.1, 0], [0.0, 0], [0.2, 0]], np.float32)
         mask = np.array([True, True, False, True])
