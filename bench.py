@@ -136,16 +136,19 @@ def measure_mesh_extract(d, c, e, intr, cfg) -> float:
     import jax
     import jax.numpy as jnp
 
-    from otslam_tpu.kernels.marching import extract_mesh_soup
+    from otslam_tpu.kernels.marching import auto_max_cells, extract_mesh_soup
     from otslam_tpu.kernels.tsdf import integrate_frames, make_volume
 
     vol = make_volume(cfg)
     vol = integrate_frames(vol, jnp.asarray(d), jnp.asarray(c),
                            jnp.asarray(e), intr)
     _ = np.asarray(vol.tsdf[:2, 0, 0])
+    # capacity sized to the workload (exact bound, untimed — mirrors
+    # auto_max_active for the fusion metric)
+    mc = auto_max_cells(vol)
 
     def run():
-        return extract_mesh_soup(vol, max_cells=131072)
+        return extract_mesh_soup(vol, max_cells=mc)
 
     _, _, mask = run()
     _ = np.asarray(mask[:2])

@@ -187,9 +187,46 @@ def extract_mesh_soup(vol: TSDFVolume, max_cells: int = 131072):
     return (v1.reshape(-1, 3, 3), c1.reshape(-1, 3, 3), tri_mask)
 
 
-def extract_mesh(vol: TSDFVolume, max_cells: int = 131072):
+@jax.jit
+def _count_active_cells(vol: TSDFVolume):
+    """Number of surface cells (all 8 corners observed, mixed signs) — the
+    exact required extract_mesh_soup capacity."""
+    X, Y, Z = vol.dims
+    t = vol.tsdf
+    w = vol.weight
+
+    def corner(arr, dx, dy, dz):
+        return arr[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
+
+    t_c = jnp.stack([corner(t, *c) for c in _CORNERS])
+    w_c = jnp.stack([corner(w, *c) for c in _CORNERS])
+    observed = jnp.all(w_c > 0, axis=0)
+    neg = t_c < 0
+    mixed = jnp.any(neg, axis=0) & ~jnp.all(neg, axis=0)
+    return jnp.sum(observed & mixed, dtype=jnp.int32)
+
+
+def auto_max_cells(vol: TSDFVolume, cap: int = 131072) -> int:
+    """Exact surface-cell capacity rounded up to a power of two (few
+    recompiles across volumes). The per-cell phase (corner gathers, lerps,
+    winding) and the host-ward soup transfer scale with the STATIC capacity,
+    not the active count — a 256^3 scan-circle volume has ~6-10k surface
+    cells, so the 131072 default wastes ~20x device time and ~100 MB of
+    fetch (measured 0.45 s of a 0.52 s extraction)."""
+    n = max(int(_count_active_cells(vol)), 1)
+    b = 1024
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def extract_mesh(vol: TSDFVolume, max_cells: int | None = None):
     """Host-side welded mesh: (vertices (V,3), faces (F,3), colors (V,3),
-    normals (V,3)). Vertices quantized to 1e-5 m for welding."""
+    normals (V,3)). Vertices quantized to 1e-5 m for welding.
+
+    max_cells None = auto (exact active-cell count, bucketed)."""
+    if max_cells is None:
+        max_cells = auto_max_cells(vol)
     verts, cols, mask = extract_mesh_soup(vol, max_cells)
     v = np.asarray(verts)[np.asarray(mask)].reshape(-1, 3)
     c = np.asarray(cols)[np.asarray(mask)].reshape(-1, 3)

@@ -73,6 +73,22 @@ class TestSphere:
         np.testing.assert_allclose(back["points"], verts, atol=1e-5)
 
 
+class TestAutoCapacity:
+    def test_auto_max_cells_is_exact_and_lossless(self):
+        """auto_max_cells must bound the true active-cell count, and the
+        right-sized extraction must produce the identical welded mesh as an
+        oversized one (the capacity only pads; measured 5x device time at
+        the 131072 default vs the ~8k real surface cells of a 256^3 scan)."""
+        from otslam_tpu.kernels.marching import auto_max_cells
+        vol = sphere_volume(0.3)
+        mc = auto_max_cells(vol)
+        v_auto, f_auto, _, _ = extract_mesh(vol)          # auto capacity
+        v_big, f_big, _, _ = extract_mesh(vol, max_cells=32768)
+        assert mc <= 32768
+        assert len(v_auto) == len(v_big) and len(f_auto) == len(f_big)
+        np.testing.assert_allclose(v_auto, v_big, atol=0)
+
+
 class TestFromFusion:
     def test_wall_mesh_from_integrated_frames(self):
         intr = PinholeIntrinsics(64, 48, 56.0, 56.0, 32.0, 24.0)
