@@ -140,6 +140,20 @@ def headline_report(workdir: str,
     dense_path = os.path.join(workdir, "dense.ply")
     tio.write_ply(dense_path, dense_pts, colors=dense_cols)
 
+    # robustness variant: the same dense map voxel-downsampled at the
+    # reconstruction voxel size (an export pipeline that grid-filters its
+    # cloud would store this; the raw concatenation above is what RTAB-Map's
+    # registered-keyframe export stores and is the published 169 MB
+    # comparison, result_plot.py:17-18). Reported alongside so the headline
+    # reduction is robust to the baseline-representation objection.
+    from otslam_tpu.kernels.voxel import voxel_downsample
+    ds_pts, ds_cols, ds_mask = voxel_downsample(
+        jnp.asarray(dense_pts), voxel_size, colors=jnp.asarray(dense_cols))
+    keep = np.asarray(ds_mask)
+    dense_ds_path = os.path.join(workdir, "dense_downsampled.ply")
+    tio.write_ply(dense_ds_path, np.asarray(ds_pts)[keep],
+                  colors=np.asarray(ds_cols)[keep])
+
     # --- 4. metrics ------------------------------------------------------
     report = {"objects": {}}
     for k, obj in enumerate(scene.objects):
@@ -178,6 +192,10 @@ def headline_report(workdir: str,
     report["hybrid_bytes"] = stats.hybrid_bytes
     report["dense_bytes"] = stats.dense_bytes
     report["size_reduction_percent"] = round(stats.reduction_percent, 2)
+    ds_bytes = os.path.getsize(dense_ds_path)
+    report["dense_downsampled_bytes"] = ds_bytes
+    report["size_reduction_downsampled_percent"] = round(
+        100.0 * (1.0 - stats.hybrid_bytes / ds_bytes), 2)
     report["reference_claim_percent"] = 99.0     # README.md:60
     report["hybrid_map_path"] = hybrid_path
     return report
