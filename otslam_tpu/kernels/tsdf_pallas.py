@@ -111,7 +111,10 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
     ox, oy, oz = (float(o) for o in origin)
     vs = float(voxel_size)
 
-    def kernel(ids_ref, act_ref, pvf_ref, pvh_ref, puf_ref, e_ref,
+    W2pad = -(-W2 // 128) * 128
+    CW = min(256, W2pad)  # half-res color window lanes (see _color_start)
+
+    def kernel(ids_ref, act_ref, pvf_ref, pvh_ref, puf_ref, pcs_ref, e_ref,
                tsdf_ref, w_ref, col_ref,
                dhi_ref, dlo_ref, cimg_ref, tsdf_out, w_out, col_out):
         step = pl.program_id(0)
@@ -150,6 +153,7 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                     pvf = pl.multiple_of(pvf_ref[f * A + k], 8)
                     pvh = pl.multiple_of(pvh_ref[f * A + k], 8)
                     puf = pl.multiple_of(puf_ref[f * A + k], 128)
+                    pcs = pl.multiple_of(pcs_ref[f * A + k], 128)
 
                     u_r, v_r, pz_r = _project(e, wxr, wyr, wzr, intr)
 
@@ -189,18 +193,25 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                                                pl.ds(puf, win)])
                               for c in range(3)]
                     else:
-                        # half-res bf16 pyramid, whole-width lanes; the 3
-                        # channel slabs concat into ONE M=3*rows dot (three
-                        # M=64 dots leave half of every MXU M-tile idle)
+                        # half-res bf16 pyramid; the 3 channel slabs concat
+                        # into ONE M=3*rows dot (three M=64 dots leave half
+                        # of every MXU M-tile idle), over a CW-lane window
+                        # around the block (pcs, from _block_schedule's
+                        # _color_start): the whole-width K=W/2 dot wasted
+                        # most of its K-tiles — a covered block's half-res
+                        # u-span is < 128 lanes, so a 256-lane 128-aligned
+                        # window always contains it
                         iota_wh = jax.lax.broadcasted_iota(
-                            jnp.int32, (W2, V), 0)
-                        ouh = ((u_r // 2) == iota_wh).astype(jnp.bfloat16)
+                            jnp.int32, (CW, V), 0)
+                        ouh = ((u_r // 2 - pcs) == iota_wh).astype(
+                            jnp.bfloat16)
                         iota_cr = jax.lax.broadcasted_iota(
                             jnp.int32, (color_rows, V), 0)
                         ov_c = (((v_r // 2) - pvh) == iota_cr
                                 ).astype(jnp.float32)
                         slab3 = jnp.concatenate(
-                            [cimg_ref[f, pl.ds(c * H2 + pvh, color_rows), :]
+                            [cimg_ref[f, pl.ds(c * H2 + pvh, color_rows),
+                                      pl.ds(pcs, CW)]
                              for c in range(3)], axis=0)
                         M3 = jax.lax.dot_general(
                             slab3, ouh, dims,
@@ -242,15 +253,16 @@ FPC = 6  # frames per kernel call (share block row DMAs across frames)
     "intr", "vol_meta", "patch_rows", "color_rows", "full_color",
     "interpret"))
 def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
-                          ids, act, pvf, pvh, puf, evec,
+                          ids, act, pvf, pvh, puf, pcs, evec,
                           intr: PinholeIntrinsics, vol_meta,
                           patch_rows: int, color_rows: int,
                           full_color: bool, interpret: bool = False):
     """Run the Pallas kernel over compact active-block rows for FPC frames.
 
     tsdf_rows/w_rows: (A, 512) f32; col_rows: (A, 1536) f32;
-    dhi/dlo: (FPC, H, W) bf16; cimg: (FPC, 3*Hc, Wc) bf16;
-    ids: (A,) i32; act/pvf/pvh/puf: (FPC*A,) i32 frame-major;
+    dhi/dlo: (FPC, H, W) bf16; cimg: (FPC, 3*Hc, Wc) bf16 (half mode:
+    Wc lane-padded to a 128 multiple for the color-window slices);
+    ids: (A,) i32; act/pvf/pvh/puf/pcs: (FPC*A,) i32 frame-major;
     evec: (FPC*12,) f32 (extrinsic rows 0..2 per frame). Voxel world
     coordinates are derived from the block id inside the kernel.
     """
@@ -264,7 +276,7 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
                           full_color, grid_blocks, origin, voxel_size)
     row_spec = pl.BlockSpec((BPG, BLOCK_VOXELS), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(A // BPG,),
         in_specs=[
             row_spec,                                          # tsdf
@@ -289,9 +301,9 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={6: 0, 7: 1, 8: 2},
+        input_output_aliases={7: 0, 8: 1, 9: 2},
         interpret=interpret,
-    )(ids, act, pvf, pvh, puf, evec, tsdf_rows, w_rows, col_rows,
+    )(ids, act, pvf, pvh, puf, pcs, evec, tsdf_rows, w_rows, col_rows,
       dhi, dlo, cimg)
 
 
@@ -591,19 +603,27 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
                        0, H // 2 - min(64, H // 2)) & ~7
         puf = jnp.clip((jnp.round(uc).astype(jnp.int32) - win // 2 + 64)
                        & ~127, 0, W - win)
+        # half-res color window start (_color_start contract): a covered
+        # block's u-span is [puf, puf+win) -> u//2 in [puf//2, puf//2+win//2),
+        # a <=128-lane span whose 128-aligned enclosing CW-lane window is
+        # (puf//2 - 64) & ~127 (clipped to the lane-padded image)
+        w2pad = -(-(W // 2) // 128) * 128
+        cw = min(256, w2pad)
+        pcs = jnp.clip((puf // 2 - 64) & ~127, 0, w2pad - cw)
         covered = _corner_coverage(vol_meta, ids, E, intr, patch_rows, win,
                                    pvf, puf)
-        return pvf, pvh, puf, covered
+        return pvf, pvh, puf, pcs, covered
 
     E_all = extrinsics.astype(jnp.float32).reshape(n_chunks, FPC, 4, 4)
     ids_rep = jnp.repeat(ids_all[:, None, :], FPC, axis=1)     # (C, FPC, A)
-    pvf_all, pvh_all, puf_all, cov_all = jax.vmap(jax.vmap(starts))(
+    pvf_all, pvh_all, puf_all, pcs_all, cov_all = jax.vmap(jax.vmap(starts))(
         E_all, ids_rep)
     act_kernel = (act_all & cov_all).astype(jnp.int32).reshape(
         n_chunks, FPC * max_active)
     pvf_all = pvf_all.reshape(n_chunks, FPC * max_active)
     pvh_all = pvh_all.reshape(n_chunks, FPC * max_active)
     puf_all = puf_all.reshape(n_chunks, FPC * max_active)
+    pcs_all = pcs_all.reshape(n_chunks, FPC * max_active)
     evec_all = E_all[:, :, :3, :].reshape(n_chunks, FPC * 12)
 
     # uncovered (frame, block) pairs for the caller's fallback: keep in
@@ -612,8 +632,8 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
     skipped_c = act_all & ~cov_all                    # (C, FPC, A) at ids
     skipped_counts = jnp.sum(skipped_c, axis=2, dtype=jnp.int32).reshape(
         n_total)[:n_frames]
-    return (ids_all, act_kernel, pvf_all, pvh_all, puf_all, evec_all,
-            created_all, skipped_c, skipped_counts)
+    return (ids_all, act_kernel, pvf_all, pvh_all, puf_all, pcs_all,
+            evec_all, created_all, skipped_c, skipped_counts)
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
@@ -634,7 +654,7 @@ def near_fallback_counts(created, depths, extrinsics,
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
                             max_active, min(PATCH_ROWS, H),
                             min(DEPTH_WIN, W), n_frames, interpret)
-    return sched[8]
+    return sched[9]
 
 
 def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
@@ -665,6 +685,12 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
         cimg_all = (colors_q[:, ::2, ::2, :].transpose(0, 3, 1, 2)
                     .reshape(depths.shape[0], 3 * (H // 2), W // 2)
                     .astype(jnp.bfloat16))
+        # lane-pad to a 128 multiple so the kernel's 128-aligned CW-lane
+        # color-window slices are in bounds (padding is never selected:
+        # one-hot columns beyond W//2 are all-zero)
+        w2pad = -(-(W // 2) // 128) * 128
+        cimg_all = jnp.pad(cimg_all, ((0, 0), (0, 0),
+                                      (0, w2pad - W // 2)))
 
     # the creation recurrence is independent of integration, so EVERYTHING
     # per-frame except the volume update itself precomputes batched outside
@@ -679,7 +705,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
     sched = _block_schedule(created_in, depths, extrinsics, intr, vol_meta,
                             max_active, patch_rows, win, n_frames, interpret)
-    (ids_all, act_kernel, pvf_all, pvh_all, puf_all, evec_all,
+    (ids_all, act_kernel, pvf_all, pvh_all, puf_all, pcs_all, evec_all,
      created_all, skipped_c, skipped_counts) = sched
     dhi_c = dhi_all.reshape((n_chunks, FPC) + dhi_all.shape[1:])
     dlo_c = dlo_all.reshape((n_chunks, FPC) + dlo_all.shape[1:])
@@ -687,14 +713,14 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
     def step(carry, frame):
         tsdf, weight, color = carry
-        dhi, dlo, cimg, ids, act, pvf, pvh, puf, evec = frame
+        dhi, dlo, cimg, ids, act, pvf, pvh, puf, pcs, evec = frame
         t_rows = jnp.take(tsdf, ids, axis=0)
         w_rows = jnp.take(weight, ids, axis=0)
         c_rows = jnp.take(color, ids, axis=0)
         t_new, w_new, c_new = _update_active_blocks(
             t_rows, w_rows, c_rows,
-            dhi, dlo, cimg, ids, act, pvf, pvh, puf, evec, intr, vol_meta,
-            patch_rows, color_rows, full_color, interpret)
+            dhi, dlo, cimg, ids, act, pvf, pvh, puf, pcs, evec, intr,
+            vol_meta, patch_rows, color_rows, full_color, interpret)
         # no unique_indices: compact_ids pads with duplicate dead-row ids
         tsdf = tsdf.at[ids].set(t_new)
         weight = weight.at[ids].set(w_new)
@@ -704,7 +730,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     (tsdf, weight, color), _ = jax.lax.scan(
         step, (tsdf, weight, color),
         (dhi_c, dlo_c, cimg_c, ids_all, act_kernel, pvf_all, pvh_all,
-         puf_all, evec_all))
+         puf_all, pcs_all, evec_all))
     created = created_in.at[:nb].set(created_all[n_frames - 1])
     return tsdf, weight, color, created, skipped_counts, skipped_c, ids_all
 
