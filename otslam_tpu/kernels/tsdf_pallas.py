@@ -112,11 +112,11 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
     vs = float(voxel_size)
 
     W2pad = -(-W2 // 128) * 128
-    CW = min(256, W2pad)  # half-res color window lanes (see _color_start)
 
     def kernel(ids_ref, act_ref, pvf_ref, pvh_ref, puf_ref, pcs_ref, e_ref,
                tsdf_ref, w_ref, col_ref,
-               dhi_ref, dlo_ref, cimg_ref, tsdf_out, w_out, col_out):
+               dhi_ref, dlo_ref, cimg_ref, cimgs_ref,
+               tsdf_out, w_out, col_out):
         step = pl.program_id(0)
         A = ids_ref.shape[0]
 
@@ -153,7 +153,7 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                     pvf = pl.multiple_of(pvf_ref[f * A + k], 8)
                     pvh = pl.multiple_of(pvh_ref[f * A + k], 8)
                     puf = pl.multiple_of(puf_ref[f * A + k], 128)
-                    pcs = pl.multiple_of(pcs_ref[f * A + k], 128)
+                    pch = pcs_ref[f * A + k]        # 64-aligned color start
 
                     u_r, v_r, pz_r = _project(e, wxr, wyr, wzr, intr)
 
@@ -195,23 +195,31 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                     else:
                         # half-res bf16 pyramid; the 3 channel slabs concat
                         # into ONE M=3*rows dot (three M=64 dots leave half
-                        # of every MXU M-tile idle), over a CW-lane window
-                        # around the block (pcs, from _block_schedule's
-                        # _color_start): the whole-width K=W/2 dot wasted
-                        # most of its K-tiles — a covered block's half-res
-                        # u-span is < 128 lanes, so a 256-lane 128-aligned
-                        # window always contains it
+                        # of every MXU M-tile idle) over a 128-lane window
+                        # starting exactly at pch (the block's 64-aligned
+                        # half-res window start from _block_schedule): a
+                        # covered block's half-res u-span is < 128 lanes, so
+                        # K collapses from W/2 (3 K-tiles at VGA) to ONE.
+                        # Mosaic only allows 128-aligned lane starts, so the
+                        # 64-offset windows read from a 64-lane-shifted copy
+                        # of the image (cimgs) at the aligned base instead
+                        pw = pl.multiple_of(pch & ~127, 128)
+                        shifted = (pch & 127) != 0
                         iota_wh = jax.lax.broadcasted_iota(
-                            jnp.int32, (CW, V), 0)
-                        ouh = ((u_r // 2 - pcs) == iota_wh).astype(
+                            jnp.int32, (128, V), 0)
+                        ouh = ((u_r // 2 - pch) == iota_wh).astype(
                             jnp.bfloat16)
                         iota_cr = jax.lax.broadcasted_iota(
                             jnp.int32, (color_rows, V), 0)
                         ov_c = (((v_r // 2) - pvh) == iota_cr
                                 ).astype(jnp.float32)
                         slab3 = jnp.concatenate(
-                            [cimg_ref[f, pl.ds(c * H2 + pvh, color_rows),
-                                      pl.ds(pcs, CW)]
+                            [jnp.where(
+                                shifted,
+                                cimgs_ref[f, pl.ds(c * H2 + pvh, color_rows),
+                                          pl.ds(pw, 128)],
+                                cimg_ref[f, pl.ds(c * H2 + pvh, color_rows),
+                                         pl.ds(pw, 128)])
                              for c in range(3)], axis=0)
                         M3 = jax.lax.dot_general(
                             slab3, ouh, dims,
@@ -252,7 +260,7 @@ FPC = 6  # frames per kernel call (share block row DMAs across frames)
 @functools.partial(jax.jit, static_argnames=(
     "intr", "vol_meta", "patch_rows", "color_rows", "full_color",
     "interpret"))
-def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
+def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg, cimgs,
                           ids, act, pvf, pvh, puf, pcs, evec,
                           intr: PinholeIntrinsics, vol_meta,
                           patch_rows: int, color_rows: int,
@@ -262,6 +270,8 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
     tsdf_rows/w_rows: (A, 512) f32; col_rows: (A, 1536) f32;
     dhi/dlo: (FPC, H, W) bf16; cimg: (FPC, 3*Hc, Wc) bf16 (half mode:
     Wc lane-padded to a 128 multiple for the color-window slices);
+    cimgs: cimg shifted left 64 lanes (half mode; a tiny dummy when
+    full_color — the kernel's full branch never reads it);
     ids: (A,) i32; act/pvf/pvh/puf/pcs: (FPC*A,) i32 frame-major;
     evec: (FPC*12,) f32 (extrinsic rows 0..2 per frame). Voxel world
     coordinates are derived from the block id inside the kernel.
@@ -285,6 +295,7 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
             pl.BlockSpec(memory_space=pltpu.VMEM),             # dhi
             pl.BlockSpec(memory_space=pltpu.VMEM),             # dlo
             pl.BlockSpec(memory_space=pltpu.VMEM),             # cimg
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # cimgs
         ],
         out_specs=[
             row_spec,
@@ -304,7 +315,7 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg,
         input_output_aliases={7: 0, 8: 1, 9: 2},
         interpret=interpret,
     )(ids, act, pvf, pvh, puf, pcs, evec, tsdf_rows, w_rows, col_rows,
-      dhi, dlo, cimg)
+      dhi, dlo, cimg, cimgs)
 
 
 def _make_classify_kernel(intr: PinholeIntrinsics, vol_meta, tb: int,
@@ -603,13 +614,11 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
                        0, H // 2 - min(64, H // 2)) & ~7
         puf = jnp.clip((jnp.round(uc).astype(jnp.int32) - win // 2 + 64)
                        & ~127, 0, W - win)
-        # half-res color window start (_color_start contract): a covered
-        # block's u-span is [puf, puf+win) -> u//2 in [puf//2, puf//2+win//2),
-        # a <=128-lane span whose 128-aligned enclosing CW-lane window is
-        # (puf//2 - 64) & ~127 (clipped to the lane-padded image)
-        w2pad = -(-(W // 2) // 128) * 128
-        cw = min(256, w2pad)
-        pcs = jnp.clip((puf // 2 - 64) & ~127, 0, w2pad - cw)
+        # half-res color window start: a covered block's u-span is
+        # [puf, puf+win) -> u//2 in [puf//2, puf//2 + win//2), a <=128-lane
+        # span starting at the 64-aligned puf//2 (the kernel reads the
+        # 64-offset windows from a lane-shifted image copy)
+        pcs = puf // 2
         covered = _corner_coverage(vol_meta, ids, E, intr, patch_rows, win,
                                    pvf, puf)
         return pvf, pvh, puf, pcs, covered
@@ -681,16 +690,21 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     if full_color:
         cimg_all = (colors_q.transpose(0, 3, 1, 2)
                     .reshape(depths.shape[0], 3 * H, W).astype(jnp.bfloat16))
+        # the shifted copy only exists in half mode; the kernel's full
+        # branch never reads it, so pass a tiny dummy
+        cimgs_all = jnp.zeros((depths.shape[0], 8, 128), jnp.bfloat16)
     else:
         cimg_all = (colors_q[:, ::2, ::2, :].transpose(0, 3, 1, 2)
                     .reshape(depths.shape[0], 3 * (H // 2), W // 2)
                     .astype(jnp.bfloat16))
-        # lane-pad to a 128 multiple so the kernel's 128-aligned CW-lane
-        # color-window slices are in bounds (padding is never selected:
-        # one-hot columns beyond W//2 are all-zero)
+        # lane-pad to a 128 multiple so the kernel's 128-aligned window
+        # slices are in bounds (padding is never selected: one-hot columns
+        # beyond W//2 are all-zero), and build the 64-lane-shifted copy the
+        # kernel reads when the block's window start is 64 mod 128
         w2pad = -(-(W // 2) // 128) * 128
         cimg_all = jnp.pad(cimg_all, ((0, 0), (0, 0),
                                       (0, w2pad - W // 2)))
+        cimgs_all = jnp.pad(cimg_all[:, :, 64:], ((0, 0), (0, 0), (0, 64)))
 
     # the creation recurrence is independent of integration, so EVERYTHING
     # per-frame except the volume update itself precomputes batched outside
@@ -698,8 +712,8 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # union-active compaction, per-frame activity flags, patch starts, and
     # the exact coverage test
     n_frames = depths.shape[0]
-    extrinsics, depths, dhi_all, dlo_all, cimg_all = _pad_to_fpc(
-        extrinsics, depths, dhi_all, dlo_all, cimg_all)
+    extrinsics, depths, dhi_all, dlo_all, cimg_all, cimgs_all = _pad_to_fpc(
+        extrinsics, depths, dhi_all, dlo_all, cimg_all, cimgs_all)
     n_total = depths.shape[0]
     n_chunks = n_total // FPC
 
@@ -710,16 +724,17 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     dhi_c = dhi_all.reshape((n_chunks, FPC) + dhi_all.shape[1:])
     dlo_c = dlo_all.reshape((n_chunks, FPC) + dlo_all.shape[1:])
     cimg_c = cimg_all.reshape((n_chunks, FPC) + cimg_all.shape[1:])
+    cimgs_c = cimgs_all.reshape((n_chunks, FPC) + cimgs_all.shape[1:])
 
     def step(carry, frame):
         tsdf, weight, color = carry
-        dhi, dlo, cimg, ids, act, pvf, pvh, puf, pcs, evec = frame
+        dhi, dlo, cimg, cimgs, ids, act, pvf, pvh, puf, pcs, evec = frame
         t_rows = jnp.take(tsdf, ids, axis=0)
         w_rows = jnp.take(weight, ids, axis=0)
         c_rows = jnp.take(color, ids, axis=0)
         t_new, w_new, c_new = _update_active_blocks(
             t_rows, w_rows, c_rows,
-            dhi, dlo, cimg, ids, act, pvf, pvh, puf, pcs, evec, intr,
+            dhi, dlo, cimg, cimgs, ids, act, pvf, pvh, puf, pcs, evec, intr,
             vol_meta, patch_rows, color_rows, full_color, interpret)
         # no unique_indices: compact_ids pads with duplicate dead-row ids
         tsdf = tsdf.at[ids].set(t_new)
@@ -729,8 +744,8 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
     (tsdf, weight, color), _ = jax.lax.scan(
         step, (tsdf, weight, color),
-        (dhi_c, dlo_c, cimg_c, ids_all, act_kernel, pvf_all, pvh_all,
-         puf_all, pcs_all, evec_all))
+        (dhi_c, dlo_c, cimg_c, cimgs_c, ids_all, act_kernel, pvf_all,
+         pvh_all, puf_all, pcs_all, evec_all))
     created = created_in.at[:nb].set(created_all[n_frames - 1])
     return tsdf, weight, color, created, skipped_counts, skipped_c, ids_all
 
