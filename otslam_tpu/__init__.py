@@ -45,7 +45,13 @@ if not _os.environ.get("OTSLAM_NO_COMPILE_CACHE"):
             _os.path.expanduser("~/.cache/otslam_tpu/xla"))
     # threshold 0: through the tunnel even trivial eager ops pay a remote
     # compile round-trip (~0.3-0.5 s each; a mission issues hundreds), so
-    # cache everything — entries are small and hits are local reads
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # cache everything — entries are small and hits are local reads. Only
+    # off-CPU though: pure-CPU sessions (pytest, JAX_PLATFORMS=cpu
+    # missions) compile in sub-milliseconds and would pay serialization +
+    # disk I/O per trivial compile while growing the cache without bound.
+    _plat = (getattr(_jax.config, "jax_platforms", None)
+             or _os.environ.get("JAX_PLATFORMS", ""))
+    if _plat.strip().lower() != "cpu":
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from otslam_tpu.config import OTSLAMConfig  # noqa: F401

@@ -222,7 +222,9 @@ def _cmd_mission(args):
         })
     out = dict(runs[-1])
     out.update({
-        "dataset": os.path.join(args.workdir, "dataset"),
+        # wd survives the loop = the LAST repeat's workdir (the run whose
+        # stats are reported above)
+        "dataset": os.path.join(wd, "dataset"),
         "platform": jax.default_backend(),
         "perception_batch": args.perception_batch,
     })

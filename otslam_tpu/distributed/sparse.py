@@ -59,6 +59,12 @@ def auto_max_active_sharded(vol: BlockTSDFVolume, depths, extrinsics,
 
     from otslam_tpu.kernels.tsdf_pallas import FPC, _cumulative_or, BPG
 
+    n = jnp.shape(depths)[0]
+    if n % n_shards:
+        # fuse_frames_sparse_data_parallel rejects indivisible batches; a
+        # bound computed over truncated shards would silently underestimate
+        # for a caller that pads to divisibility AFTER sizing
+        raise ValueError(f"{n} frames not divisible by {n_shards} shards")
     nb = vol.num_blocks
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
@@ -103,20 +109,22 @@ def _combine_partials(vol: BlockTSDFVolume, sum_tw, sum_w, sum_cw,
 def fuse_frames_sparse_data_parallel(
         vol: BlockTSDFVolume, depths: jnp.ndarray, colors: jnp.ndarray,
         extrinsics: jnp.ndarray, intr: PinholeIntrinsics, mesh: Mesh,
-        data_axis: str = "data", max_active: int = 2048,
+        data_axis: str = "data", max_active: int | None = None,
         color_res: str = "half", near_field: str = "fallback",
-        max_near: int = 512, interpret: bool = False) -> BlockTSDFVolume:
+        max_near: int = 512, interpret: bool = False,
+        patch_rows: int | None = None) -> BlockTSDFVolume:
     """Frame-sharded block-sparse fusion (Pallas kernel per device, one
     psum of the per-block partial sums over the data axis).
 
     Same contract as kernels.tsdf_pallas.integrate_frames_pallas up to
     float reassociation of the cross-device reduce: the creation prefix is
     replayed exactly (see module docstring), so per-frame active sets match
-    the serial path. N frames must divide by the data-axis size, and
-    max_active must bound each device's per-chunk union active count —
-    size it with auto_max_active_sharded (shard chunk boundaries differ
-    from the single-chip batch's, so the plain auto_max_active is not a
-    strict bound).
+    the serial path. N frames must divide by the data-axis size.
+    max_active=None (default) sizes the capacity exactly with
+    auto_max_active_sharded; an explicit value must bound each device's
+    per-chunk union active count (shard chunk boundaries differ from the
+    single-chip batch's, so the plain auto_max_active is not a strict
+    bound).
 
     near_field="fallback" runs the exact XLA pass for slab-uncovered
     (frame, block) pairs UNCONDITIONALLY with static capacity `max_near`
@@ -133,6 +141,9 @@ def fuse_frames_sparse_data_parallel(
     n = depths.shape[0]
     if n % nd:
         raise ValueError(f"{n} frames not divisible by {nd} devices")
+    if max_active is None:
+        max_active = auto_max_active_sharded(vol, depths, extrinsics, intr,
+                                             nd)
     nb = vol.num_blocks
     vol_meta = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
     full_color = color_res == "full"
@@ -155,7 +166,7 @@ def fuse_frames_sparse_data_parallel(
         tsdf_d, w_d, c_d, created_d, _, skipped_c, ids_all = \
             _integrate_core_impl(
                 tsdf0, weight0, color0, created_start, d, c, e, intr,
-                vol_meta, max_active, full_color, interpret)
+                vol_meta, max_active, full_color, interpret, patch_rows)
         if near_field == "fallback":
             skipped = _expand_skipped(skipped_c, ids_all, nb, n_local)
             cpacked = jax.vmap(pack_rgb)(c)
@@ -189,9 +200,10 @@ def fuse_frames_sparse_data_parallel(
 def fuse_objects_sparse_parallel(
         depths: jnp.ndarray, colors: jnp.ndarray, extrinsics: jnp.ndarray,
         origins: jnp.ndarray, intr: PinholeIntrinsics, cfg, mesh: Mesh,
-        axis: str = "data", max_active: int = 2048,
+        axis: str = "data", max_active: int | None = None,
         color_res: str = "half", near_field: str = "fallback",
-        max_near: int = 512, interpret: bool = False):
+        max_near: int = 512, interpret: bool = False,
+        patch_rows: int | None = None):
     """OBJECT-axis parallel block-sparse fusion: each device fuses the frame
     stacks of its object shard into per-object block volumes with the
     single-chip Pallas kernel — embarrassingly parallel, zero integrate-time
@@ -206,14 +218,32 @@ def fuse_objects_sparse_parallel(
     color (O, NB+1, 1536), created (O, NB+1)), object-sharded over `axis`.
     Reassemble per-object volumes with BlockTSDFVolume(..., origin=
     tuple(origins[i]), ...).
+
+    max_active=None (default) sizes the static capacity exactly: the max
+    over objects of tsdf_pallas.auto_max_active at that object's volume
+    origin (per-object chunking here matches the single-chip batch's, so
+    the plain per-object bound is strict).
     """
+    import numpy as np
+
     from otslam_tpu.kernels.tsdf_block import make_block_volume
+    from otslam_tpu.kernels.tsdf_pallas import auto_max_active
 
     nd = mesh.shape[axis]
     n_obj = depths.shape[0]
     if n_obj % nd:
         raise ValueError(f"{n_obj} objects not divisible by {nd} devices")
     proto = make_block_volume(cfg)
+    if max_active is None:
+        max_active = max(
+            auto_max_active(
+                BlockTSDFVolume(proto.tsdf, proto.weight, proto.color,
+                                proto.created,
+                                tuple(float(x) for x in np.asarray(o)),
+                                proto.voxel_size, proto.sdf_trunc,
+                                proto.grid_blocks),
+                depths[i], extrinsics[i], intr)
+            for i, o in enumerate(np.asarray(origins)))
     nb = proto.num_blocks
     vol_meta = (proto.grid_blocks, proto.origin, proto.voxel_size,
                 proto.sdf_trunc)
@@ -233,7 +263,7 @@ def fuse_objects_sparse_parallel(
         cr0 = jnp.zeros_like(proto.created)
         tsdf_o, w_o, c_o, cr_o, _, skipped_c, ids_all = _integrate_core_impl(
             tsdf0, w0, c0, cr0, d, c, e_shift, intr, vol_meta, max_active,
-            full_color, interpret)
+            full_color, interpret, patch_rows)
         if near_field == "fallback":
             skipped = _expand_skipped(skipped_c, ids_all, nb, d.shape[0])
             cpacked = jax.vmap(pack_rgb)(c)
@@ -265,13 +295,16 @@ def fuse_objects_sparse_parallel(
 
 def reconstruct_all_sharded_sparse(ds, cfg, mesh: Mesh, axis: str = "data",
                                    auto_origin: bool = True,
-                                   max_active: int = 2048,
+                                   max_active: int | None = None,
                                    interpret: bool = False,
                                    **extract_kw) -> dict:
     """Object-sharded reconstruct_all over the BLOCK-SPARSE Pallas path:
     one jitted dispatch fuses every object's frames (objects sharded across
     devices), then sparse extraction + filtering runs per object exactly
-    like pipeline.reconstruct_object(backend='pallas').
+    like pipeline.reconstruct_object(backend='pallas') — including exact
+    capacity auto-sizing (max_active=None, the default, measures each
+    object's per-chunk union active-block bound instead of assuming a
+    fixed capacity).
 
     Frame counts pad to the dataset max with empty (depth 0) frames (their
     bands are empty, so they create and integrate nothing); the object list

@@ -105,7 +105,10 @@ def cluster_points_host(pts, gap_threshold: float, max_clusters: int = 64):
     if n == 0:
         return _np.zeros(0, _np.int32), 0
     d = _np.hypot(pts[1:, 0] - pts[:-1, 0], pts[1:, 1] - pts[:-1, 1])
-    gap = _np.concatenate([[True], d > gap_threshold])
+    # compare in f32 like the device kernel (jax weak-types the Python
+    # float down to f32; a float64 compare here could flip the ulp
+    # boundary case and break the documented label parity)
+    gap = _np.concatenate([[True], d > _np.float32(gap_threshold)])
     labels = _np.minimum(_np.cumsum(gap) - 1,
                          max_clusters - 1).astype(_np.int32)
     return labels, min(int(gap.sum()), max_clusters)

@@ -104,14 +104,12 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
     hi/lo images.
     """
     H, W = intr.height, intr.width
-    H2, W2 = H // 2, W // 2
+    H2 = H // 2
     win = min(DEPTH_WIN, W)
     V = BLOCK_VOXELS
     _, gby, gbz = grid_blocks
     ox, oy, oz = (float(o) for o in origin)
     vs = float(voxel_size)
-
-    W2pad = -(-W2 // 128) * 128
 
     def kernel(ids_ref, act_ref, pvf_ref, pvh_ref, puf_ref, pcs_ref, e_ref,
                tsdf_ref, w_ref, col_ref,
@@ -436,6 +434,22 @@ def _classify_blocks(depths, extrinsics, intr: PinholeIntrinsics, vol_meta,
             vis.reshape(n, nb).astype(bool))
 
 
+def _pad_width_128(W, *imgs):
+    """Zero-pad the lane (width) axis of per-frame images to the next
+    multiple of 128 when W exceeds the slab window and is not already
+    aligned (e.g. QVGA 320 -> 384). Keeps every scheduled window start a
+    128-lane multiple; depth-0 padding never integrates."""
+    if W <= DEPTH_WIN or W % 128 == 0:
+        return imgs
+    wpad = -(-W // 128) * 128 - W
+    out = []
+    for img in imgs:
+        pad = [(0, 0)] * img.ndim
+        pad[2] = (0, wpad)
+        out.append(jnp.pad(img, pad))
+    return tuple(out)
+
+
 def _pad_to_fpc(extrinsics, *frame_arrays):
     """Pad a frame batch to a multiple of FPC: zero frames + identity
     extrinsics (identity frames classify as empty and integrate nothing).
@@ -478,6 +492,39 @@ def auto_max_active(vol: BlockTSDFVolume, depths, extrinsics,
                                jnp.asarray(extrinsics), intr))
     n = max(n, BPG)
     return -(-n // bucket) * bucket
+
+
+def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
+                    intr: PinholeIntrinsics, max_active: int,
+                    interpret: bool = False) -> int:
+    """Smallest 8-multiple depth-slab height (the selection dots' M
+    dimension) whose slab-coverage skip set matches the PATCH_ROWS
+    default's — shrinking the dot costs zero extra fallbacks on this
+    workload. Far-field capture circles (the reference scan protocol,
+    reconstruct_rgbd_filter.py:91-105) project ~40-50 px block v-spans at
+    VGA, roughly halving the depth-selection MACs vs the 128-row default.
+    Runs a few scheduling-pass dispatches (binary search over the
+    8-multiples); untimed setup, cacheable by jit."""
+    depths = jnp.asarray(depths)
+    extrinsics = jnp.asarray(extrinsics)
+    H = depths.shape[1]
+    vm = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
+
+    def skipped(pr: int) -> int:
+        return int(np.sum(np.asarray(near_fallback_counts(
+            vol.created, depths, extrinsics, intr, vm, max_active,
+            interpret=interpret, patch_rows=pr))))
+
+    hi_u = min(PATCH_ROWS, H) // 8
+    base = skipped(hi_u * 8)
+    lo_u = 2
+    while lo_u < hi_u:
+        mid_u = (lo_u + hi_u) // 2
+        if skipped(mid_u * 8) == base:
+            hi_u = mid_u
+        else:
+            lo_u = mid_u + 1
+    return hi_u * 8
 
 
 def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
@@ -646,22 +693,29 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
-                                              "max_active", "interpret"))
+                                              "max_active", "interpret",
+                                              "patch_rows"))
 def near_fallback_counts(created, depths, extrinsics,
                          intr: PinholeIntrinsics, vol_meta,
-                         max_active: int, interpret: bool = False):
+                         max_active: int, interpret: bool = False,
+                         patch_rows: int | None = None):
     """Per-frame count of (frame, block) pairs the Pallas kernel's depth
     slab cannot cover (the pairs near_field='fallback' integrates via the
     exact XLA pass). All-zero counts mean near_field='skip' is exact for
     this batch — the fast path for far-field captures (bench.py uses this
-    to pick the mode without paying the fallback's mid-pipeline sync)."""
+    to pick the mode without paying the fallback's mid-pipeline sync).
+    patch_rows must match the value passed to integrate_frames_pallas."""
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
     H, W = depths.shape[1:]
+    (depths,) = _pad_width_128(W, depths)
+    W = depths.shape[2]
     n_frames = depths.shape[0]
     extrinsics, depths = _pad_to_fpc(extrinsics, depths)
+    pr = min(patch_rows or PATCH_ROWS, H)
+    pr = max(8 * ((pr + 7) // 8), 16)
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
-                            max_active, min(PATCH_ROWS, H),
+                            max_active, pr,
                             min(DEPTH_WIN, W), n_frames, interpret)
     return sched[9]
 
@@ -669,14 +723,31 @@ def near_fallback_counts(created, depths, extrinsics,
 def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
                          extrinsics, intr: PinholeIntrinsics, vol_meta,
                          max_active: int, full_color: bool,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         patch_rows: int | None = None):
     """The batched Pallas fusion pass. Returns updated (tsdf, weight, color,
     created). (frame, block) pairs failing the slab-coverage test are left
     untouched (handled by the caller's fallback pass)."""
     grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
     nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
     H, W = depths.shape[1:]
-    patch_rows = min(PATCH_ROWS, H)
+    # lane-pad images to a 128-multiple width: _block_schedule rounds window
+    # starts down to 128-lane multiples, so the clip bound W - win must
+    # itself be a multiple of 128 — a W=320 QVGA image would otherwise
+    # produce a 64-lane depth-slab start (breaking the kernel's
+    # pl.multiple_of(puf, 128) promise) and a 32-lane-misaligned half-res
+    # color window. Padded columns have depth 0 == invalid, so they never
+    # integrate; validity tests use the true intr.width.
+    depths, colors = _pad_width_128(W, depths, colors)
+    W = depths.shape[2]
+    # patch_rows sets the depth-slab dot's M dimension — the dominant MAC
+    # cost. The PATCH_ROWS=128 default covers every block beyond ~0.66 m;
+    # far-field workloads have much smaller projected v-spans, and
+    # auto_patch_rows sizes this down (the exact slab-coverage test routes
+    # any uncovered pair to the caller's fallback, so a small value can
+    # only cost performance, never correctness).
+    patch_rows = min(patch_rows or PATCH_ROWS, H)
+    patch_rows = max(8 * ((patch_rows + 7) // 8), 16)  # 8-sublane, >=16
     color_rows = patch_rows if full_color else min(64, H // 2)
     win = min(DEPTH_WIN, W)
 
@@ -752,7 +823,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
 _integrate_core = functools.partial(
     jax.jit, static_argnames=("intr", "vol_meta", "max_active", "full_color",
-                              "interpret"),
+                              "interpret", "patch_rows"),
     donate_argnums=(0, 1, 2))(_integrate_core_impl)
 
 
@@ -814,7 +885,9 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                             intr: PinholeIntrinsics, max_active: int = 2048,
                             interpret: bool = False,
                             color_res: str = "half",
-                            near_field: str = "fallback") -> BlockTSDFVolume:
+                            near_field: str = "fallback",
+                            patch_rows: int | None = None
+                            ) -> BlockTSDFVolume:
     """Fuse a batch of frames through the Pallas block kernel.
 
     Same contract as tsdf_block.integrate_frames_sparse, to bf16-split
@@ -830,6 +903,12 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     integrations); "skip" drops those (frame, block) pairs (fastest, exact
     for captures where everything is > ~0.45 m away); the count of fallback
     frames is fetched with one small host sync that overlaps the main pass.
+
+    patch_rows: depth-slab rows = the M dimension of the dominant
+    selection dots. None = the PATCH_ROWS default (covers every block at
+    >= ~0.66 m); auto_patch_rows sizes it to the workload's projected
+    v-spans — far-field captures run ~2x fewer depth MACs. Uncovered
+    pairs fall back exactly, whatever the value.
     """
     if color_res not in ("half", "full"):
         raise ValueError(f"color_res must be 'half' or 'full': {color_res!r}")
@@ -845,7 +924,7 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
      ids_all) = _integrate_core(
         vol.tsdf, vol.weight, vol.color, vol.created, depths, colors,
         extrinsics, intr, vol_meta, max_active, color_res == "full",
-        interpret)
+        interpret, patch_rows)
 
     if near_field == "fallback":
         counts = np.asarray(skipped_counts)           # host sync (small)

@@ -218,13 +218,14 @@ class TestSparseDataParallel:
         from otslam_tpu.kernels.tsdf_block import make_block_volume
         from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
 
-        mesh = make_mesh((8,), ("data",), eight_devices)
-        d, c, e = sparse_frames(16)
-        vol0 = make_block_volume(CFG)
-        ma = auto_max_active_sharded(vol0, d, e, INTR, 8)
+        mesh = make_mesh((4,), ("data",), eight_devices[:4])
+        d, c, e = sparse_frames(8)
+        # max_active omitted: the default auto-sizes with
+        # auto_max_active_sharded (parity holds for any sufficient capacity)
         got = fuse_frames_sparse_data_parallel(
-            make_block_volume(CFG), d, c, e, INTR, mesh, max_active=ma,
-            interpret=True)
+            make_block_volume(CFG), d, c, e, INTR, mesh, interpret=True)
+        vol0 = make_block_volume(CFG)
+        ma = auto_max_active_sharded(vol0, d, e, INTR, 4)
         ref = integrate_frames_pallas(
             make_block_volume(CFG), d, c, e, INTR,
             max_active=max(ma, 128), interpret=True)
@@ -243,12 +244,12 @@ class TestSparseDataParallel:
         from otslam_tpu.kernels.tsdf_block import make_block_volume
         from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
 
-        d, c, e = sparse_frames(16)
+        d, c, e = sparse_frames(8)
         ref = integrate_frames_pallas(
             make_block_volume(CFG), d, c, e, INTR, max_active=1024,
             interpret=True)
         w_indep = 0.0
-        for s in range(8):
+        for s in range(4):
             sl = slice(2 * s, 2 * s + 2)
             part = integrate_frames_pallas(
                 make_block_volume(CFG), d[sl], c[sl], e[sl], INTR,
@@ -266,17 +267,17 @@ class TestSparseDataParallel:
         from otslam_tpu.kernels.tsdf_block import make_block_volume
         from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
 
-        mesh = make_mesh((8,), ("data",), eight_devices)
-        d, c, e = sparse_frames(16)
+        mesh = make_mesh((4,), ("data",), eight_devices[:4])
+        d, c, e = sparse_frames(8)
         ref = integrate_frames_pallas(
             make_block_volume(CFG), d, c, e, INTR, max_active=1024,
             interpret=True)
         half = integrate_frames_pallas(
-            make_block_volume(CFG), d[:8], c[:8], e[:8], INTR,
+            make_block_volume(CFG), d[:4], c[:4], e[:4], INTR,
             max_active=1024, interpret=True)
-        ma = auto_max_active_sharded(half, d[8:], e[8:], INTR, 8)
+        ma = auto_max_active_sharded(half, d[4:], e[4:], INTR, 4)
         got = fuse_frames_sparse_data_parallel(
-            half, d[8:], c[8:], e[8:], INTR, mesh, max_active=ma,
+            half, d[4:], c[4:], e[4:], INTR, mesh, max_active=ma,
             interpret=True)
         assert bool(jnp.all(got.created == ref.created))
         np.testing.assert_allclose(np.asarray(got.weight),
@@ -307,8 +308,8 @@ class TestSparseObjectParallel:
         from otslam_tpu.kernels.tsdf_block import make_block_volume
         from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
 
-        mesh = make_mesh((8,), ("data",), eight_devices)
-        O, N = 8, 4
+        mesh = make_mesh((2,), ("data",), eight_devices[:2])
+        O, N = 2, 4
         depths = np.stack([
             np.full((N, 48, 64), 0.42 + 0.02 * o, np.float32)
             for o in range(O)])
@@ -317,9 +318,9 @@ class TestSparseObjectParallel:
         origins = np.asarray(
             [(-0.64 + 0.1 * o, -0.64, -0.64) for o in range(O)], np.float32)
 
+        # max_active omitted: exercises the per-object auto-sizing default
         tsdf, weight, color, created = fuse_objects_sparse_parallel(
-            depths, colors, exts, origins, INTR, CFG, mesh,
-            max_active=256, interpret=True)
+            depths, colors, exts, origins, INTR, CFG, mesh, interpret=True)
         for o in range(O):
             cfg_o = dc.replace(CFG, origin=tuple(map(float, origins[o])))
             ref = integrate_frames_pallas(

@@ -241,3 +241,89 @@ class TestClassifyKernel:
             jnp.asarray(np.stack([np.eye(4, dtype=np.float32), near_ext])),
             INTR, vol_meta, 512, interpret=True))
         assert counts2[0] == 0 and counts2[1] > 0
+
+
+class TestNon128Width:
+    """Widths above DEPTH_WIN that are not multiples of 128 (e.g. QVGA 320)
+    previously produced a 64-lane depth-slab start — violating the kernel's
+    ``pl.multiple_of(puf, 128)`` promise — and a 32-lane-misaligned half-res
+    color window (color sampled 32 half-res columns to the right). The
+    schedule now lane-pads such images to the next 128 multiple, keeping
+    every window start aligned; this scene places blocks right-of-center
+    (round(uc) >= 192 at W=320) where the misaligned start triggers."""
+
+    INTR_320 = PinholeIntrinsics(320, 64, 280.0, 100.0, 160.5, 32.5)
+    CFG_320 = TSDFConfig(voxel_size=0.01, sdf_trunc=0.04, dims=(16, 16, 16),
+                         origin=(0.06, -0.08, 0.40))
+
+    def _scene(self):
+        depths = jnp.asarray(np.full((1, 64, 320), 0.5, np.float32))
+        # color = a pure-u ramp: a shifted color window shows up as a
+        # ~0.8 * shift error; correct half-res sampling errs < 1 px
+        u_ramp = np.linspace(0, 255, 320, dtype=np.float32)[None, :, None]
+        colors = jnp.asarray(
+            np.broadcast_to(u_ramp, (64, 320, 3)).copy()[None])
+        exts = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+        return depths, colors, exts
+
+    def test_half_res_color_parity_at_w320(self):
+        depths, colors, exts = self._scene()
+        s = integrate_frames_sparse(make_block_volume(self.CFG_320), depths,
+                                    colors, exts, self.INTR_320,
+                                    max_active=64)
+        p = integrate_frames_pallas(make_block_volume(self.CFG_320), depths,
+                                    colors, exts, self.INTR_320,
+                                    max_active=64, interpret=True)
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        frac_diff = (ws != wp).sum() / max((ws > 0).sum(), 1)
+        assert frac_diff < 0.015
+        m = (ws > 0) & (wp > 0)
+        assert m.sum() > 500            # the scene really exercises blocks
+        cs = np.asarray(s.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        cp = np.asarray(p.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        # half-res sampling may differ from the gather path by one full-res
+        # pixel on this ramp (0.8/px); a misaligned window is off by ~26+
+        assert np.abs(cs[:, m] - cp[:, m]).max() < 2.0
+        np.testing.assert_allclose(np.asarray(p.tsdf)[m],
+                                   np.asarray(s.tsdf)[m], atol=1e-3)
+
+
+class TestAutoPatchRows:
+    def test_small_slab_matches_default_bitwise(self):
+        """auto_patch_rows shrinks the depth-slab M dimension (the dominant
+        selection-dot cost) to the workload's projected v-spans; because
+        the skip set is unchanged, the result is BIT-IDENTICAL to the
+        PATCH_ROWS default — same selections, same math, fewer MACs."""
+        from otslam_tpu.kernels.tsdf_pallas import (auto_max_active,
+                                                    auto_patch_rows)
+
+        depths, colors, exts = scene()
+        vol0 = make_block_volume(CFG)
+        ma = auto_max_active(vol0, depths, exts, INTR)
+        pr = auto_patch_rows(vol0, depths, exts, INTR, ma, interpret=True)
+        assert pr % 8 == 0 and 16 <= pr < 48  # genuinely smaller than H=48
+        p_small = integrate_frames_pallas(
+            make_block_volume(CFG), depths, colors, exts, INTR,
+            max_active=ma, interpret=True, patch_rows=pr)
+        p_def = integrate_frames_pallas(
+            make_block_volume(CFG), depths, colors, exts, INTR,
+            max_active=ma, interpret=True)
+        np.testing.assert_array_equal(np.asarray(p_small.weight),
+                                      np.asarray(p_def.weight))
+        np.testing.assert_array_equal(np.asarray(p_small.tsdf),
+                                      np.asarray(p_def.tsdf))
+        np.testing.assert_array_equal(np.asarray(p_small.color),
+                                      np.asarray(p_def.color))
+
+    def test_too_small_slab_falls_back_exactly(self):
+        """A hand-forced undersized slab must route uncovered pairs through
+        the exact fallback — zero lost integrations, same weights."""
+        depths, colors, exts = scene()
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64)
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64,
+                                    interpret=True, patch_rows=16,
+                                    near_field="fallback")
+        np.testing.assert_array_equal(np.asarray(s.weight),
+                                      np.asarray(p.weight))
