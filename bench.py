@@ -52,6 +52,7 @@ def main():
     from otslam_tpu.core.camera import PinholeIntrinsics
     from otslam_tpu.kernels.tsdf_block import make_block_volume
     from otslam_tpu.kernels.tsdf_pallas import (auto_max_active,
+                                                auto_patch_rows,
                                                 integrate_frames_pallas)
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -64,9 +65,13 @@ def main():
     depths = jnp.asarray(d)
     colors = jnp.asarray(c)
     exts = jnp.asarray(e)
-    # capacity sized to the workload (exact bound from the activity pass)
+    # capacity + slab height sized to the workload (exact bounds from the
+    # scheduling pass: auto_patch_rows shrinks the selection dots' M to the
+    # capture circle's projected v-spans at zero extra fallbacks)
     vol0 = make_block_volume(cfg)
     max_active = auto_max_active(vol0, depths, exts, intr)
+    patch_rows = auto_patch_rows(vol0, depths, exts, intr, max_active,
+                                 interpret=not on_tpu)
     # far-field workloads (this capture circle) have zero uncovered pairs,
     # making near_field="skip" exact — verified here, untimed — and free of
     # the fallback mode's mid-pipeline host sync
@@ -74,14 +79,14 @@ def main():
     counts = np.asarray(near_fallback_counts(
         vol0.created, depths, exts, intr,
         (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc),
-        max_active, interpret=not on_tpu))
+        max_active, interpret=not on_tpu, patch_rows=patch_rows))
     near_field = "skip" if counts.max() == 0 else "fallback"
 
     def run():
         vol = integrate_frames_pallas(
             make_block_volume(cfg), depths, colors, exts, intr,
             max_active=max_active, interpret=not on_tpu,
-            near_field=near_field)
+            near_field=near_field, patch_rows=patch_rows)
         return vol.tsdf
 
     # warmup/compile

@@ -104,9 +104,15 @@ def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
         vol = integrate_frames_sparse(start, depths, colors, extrinsics,
                                       intr, max_active=max_active)
     elif backend == "pallas":
+        from otslam_tpu.kernels.tsdf_pallas import auto_patch_rows
+        interp = jax.default_backend() == "cpu"
+        # slab height sized to the batch's projected v-spans (zero extra
+        # fallbacks by construction; ~2x fewer depth MACs far-field)
+        pr = auto_patch_rows(start, depths, extrinsics, intr, max_active,
+                             interpret=interp)
         vol = integrate_frames_pallas(
             start, depths, colors, extrinsics, intr, max_active=max_active,
-            interpret=jax.default_backend() == "cpu")
+            interpret=interp, patch_rows=pr)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return block_to_dense(vol) if densify else vol
