@@ -527,20 +527,20 @@ def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
     return hi_u * 8
 
 
-def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
-                     patch_rows: int, win: int, pvf, puf):
-    """Exact per-(frame, block) slab-coverage test via the 8 block corners.
+def _effective_patch_rows(patch_rows: int | None, H: int) -> int:
+    """Clamp the requested depth-slab height: 8-sublane multiple, >= 16,
+    <= image height."""
+    pr = min(patch_rows or PATCH_ROWS, H)
+    return max(8 * ((pr + 7) // 8), 16)
 
-    covered == every voxel of the block that can land in the image is
-    guaranteed to fall inside the (patch_rows x win) depth slab. A block
-    with any corner behind the camera plane is not covered (projection
-    unbounded) unless every corner is behind (then nothing integrates and
-    it is trivially covered).
-    """
+
+def _corner_bounds(vol_meta, ids, E, intr: PinholeIntrinsics):
+    """Projected pixel bounds of the 8 corners of each block (per frame):
+    (umin, umax, vmin, vmax, n_behind). Corners behind the camera plane
+    contribute +-inf bounds and count into n_behind."""
     grid_blocks, origin, voxel_size, _ = vol_meta
     bx, by, bz = grid_blocks
     nb = bx * by * bz
-    H, W = intr.height, intr.width
     idc = jnp.minimum(ids, nb - 1)
     ix = idc // (by * bz)
     iy = (idc // bz) % by
@@ -574,6 +574,23 @@ def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
                 vmin = jnp.minimum(vmin, jnp.where(behind, big, v))
                 vmax = jnp.maximum(vmax, jnp.where(behind, -big, v))
                 n_behind = n_behind + behind.astype(jnp.int32)
+    return umin, umax, vmin, vmax, n_behind
+
+
+def _corner_coverage(bounds, intr: PinholeIntrinsics,
+                     patch_rows: int, win: int, pvf, puf,
+                     pvh, cr_half: int, full_color: bool):
+    """Exact per-(frame, block) slab-coverage test from the corner bounds.
+
+    covered == every voxel of the block that can land in the image is
+    guaranteed to fall inside the (patch_rows x win) depth slab AND (in
+    half-res color mode) inside the (cr_half x 128) color row window at
+    pvh. A block with any corner behind the camera plane is not covered
+    (projection unbounded) unless every corner is behind (then nothing
+    integrates and it is trivially covered).
+    """
+    umin, umax, vmin, vmax, n_behind = bounds
+    H, W = intr.height, intr.width
     # clip bounds to the image: off-image voxels are invalid in the kernel
     # anyway, so only the in-image span must fit the slab (+-1 px rounding)
     u_lo = jnp.clip(jnp.floor(umin) - 1, 0, W - 1)
@@ -582,6 +599,16 @@ def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
     v_hi = jnp.clip(jnp.ceil(vmax) + 1, 0, H - 1)
     fits = ((u_lo >= puf) & (u_hi < puf + win)
             & (v_lo >= pvf) & (v_hi < pvf + patch_rows))
+    if not full_color:
+        # the half-res color rows the kernel requests are v_r // 2 for
+        # v_r in [v_lo, v_hi]: they must fit the (cr_half)-row window at
+        # pvh, else the frame's color contribution for those voxels would
+        # silently drop while their weight still accumulated (a bias the
+        # pre-round-3 center-anchored pvh exhibited on parallax-skewed
+        # near blocks) — route such pairs to the exact fallback instead
+        vh_lo = v_lo.astype(jnp.int32) // 2
+        vh_hi = v_hi.astype(jnp.int32) // 2
+        fits = fits & (vh_lo >= pvh) & (vh_hi < pvh + cr_half)
     # off-image must match the kernel's round-to-nearest in_img bounds: a
     # corner at u in (W-1, W-0.5) still rounds INTO the image, so only
     # bounds beyond the +-0.5 rounding midpoints are trivially covered
@@ -598,7 +625,8 @@ def _corner_coverage(vol_meta, ids, E, intr: PinholeIntrinsics,
 
 def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
                     vol_meta, max_active: int, patch_rows: int, win: int,
-                    n_frames: int, interpret: bool):
+                    n_frames: int, interpret: bool,
+                    full_color: bool = False):
     """Per-chunk block schedule for the fusion scan (traced inline by its
     callers): activity classification, created evolution (cumulative OR),
     chunk-union compaction, per-frame act flags at the union ids, patch
@@ -637,37 +665,38 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
     act_all = jax.vmap(
         lambda af, i: jnp.take(af, i, axis=1))(act_pad, ids_all)
 
+    cr_half = min(64, H // 2)
+
     def starts(E, ids):
-        bx, by, bz = grid_blocks
-        idc = jnp.minimum(ids, nb - 1)
-        half = 0.5 * BLOCK * voxel_size
-        bcx = origin[0] + (idc // (by * bz)).astype(jnp.float32) \
-            * (BLOCK * voxel_size) + half
-        bcy = origin[1] + ((idc // bz) % by).astype(jnp.float32) \
-            * (BLOCK * voxel_size) + half
-        bcz = origin[2] + (idc % bz).astype(jnp.float32) \
-            * (BLOCK * voxel_size) + half
-        px = E[0, 0] * bcx + E[0, 1] * bcy + E[0, 2] * bcz + E[0, 3]
-        py = E[1, 0] * bcx + E[1, 1] * bcy + E[1, 2] * bcz + E[1, 3]
-        pz = E[2, 0] * bcx + E[2, 1] * bcy + E[2, 2] * bcz + E[2, 3]
-        zs = jnp.where(pz > 0, pz, 1.0)
-        uc = intr.fx * px / zs + intr.cx
-        vc = intr.fy * py / zs + intr.cy
+        bounds = _corner_bounds(vol_meta, ids, E, intr)
+        umin, umax, vmin, vmax, _ = bounds
+        Ht, Wt = intr.height, intr.width
+        # anchor every window at the midpoint of the clipped in-image
+        # corner span (the block-center projection is parallax-skewed for
+        # near or grazing blocks, wasting slab rows on one side and — for
+        # the color row window — clipping rows the depth slab covered);
+        # pairs with any corner behind the camera are never covered, so
+        # their anchor is arbitrary — sanitize the infs to 0
+        v_lo = jnp.clip(jnp.floor(vmin) - 1, 0, Ht - 1)
+        v_hi = jnp.clip(jnp.ceil(vmax) + 1, 0, Ht - 1)
+        u_lo = jnp.clip(jnp.floor(umin) - 1, 0, Wt - 1)
+        u_hi = jnp.clip(jnp.ceil(umax) + 1, 0, Wt - 1)
+        vmid = jnp.where(jnp.isfinite(vmin), 0.5 * (v_lo + v_hi), 0.0)
+        umid = jnp.where(jnp.isfinite(umin), 0.5 * (u_lo + u_hi), 0.0)
         # rounded down to sublane multiples of 8 / lane multiples of 128
-        pvf = jnp.clip(jnp.round(vc).astype(jnp.int32) - patch_rows // 2,
+        pvf = jnp.clip(jnp.round(vmid).astype(jnp.int32) - patch_rows // 2,
                        0, H - patch_rows) & ~7
-        pvh = jnp.clip(jnp.round(vc / 2).astype(jnp.int32)
-                       - min(64, H // 2) // 2,
-                       0, H // 2 - min(64, H // 2)) & ~7
-        puf = jnp.clip((jnp.round(uc).astype(jnp.int32) - win // 2 + 64)
+        pvh = jnp.clip(jnp.round(0.5 * vmid).astype(jnp.int32)
+                       - cr_half // 2, 0, H // 2 - cr_half) & ~7
+        puf = jnp.clip((jnp.round(umid).astype(jnp.int32) - win // 2 + 64)
                        & ~127, 0, W - win)
         # half-res color window start: a covered block's u-span is
         # [puf, puf+win) -> u//2 in [puf//2, puf//2 + win//2), a <=128-lane
         # span starting at the 64-aligned puf//2 (the kernel reads the
         # 64-offset windows from a lane-shifted image copy)
         pcs = puf // 2
-        covered = _corner_coverage(vol_meta, ids, E, intr, patch_rows, win,
-                                   pvf, puf)
+        covered = _corner_coverage(bounds, intr, patch_rows, win,
+                                   pvf, puf, pvh, cr_half, full_color)
         return pvf, pvh, puf, pcs, covered
 
     E_all = extrinsics.astype(jnp.float32).reshape(n_chunks, FPC, 4, 4)
@@ -694,17 +723,19 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
 
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
                                               "max_active", "interpret",
-                                              "patch_rows"))
+                                              "patch_rows", "color_res"))
 def near_fallback_counts(created, depths, extrinsics,
                          intr: PinholeIntrinsics, vol_meta,
                          max_active: int, interpret: bool = False,
-                         patch_rows: int | None = None):
+                         patch_rows: int | None = None,
+                         color_res: str = "half"):
     """Per-frame count of (frame, block) pairs the Pallas kernel's depth
     slab cannot cover (the pairs near_field='fallback' integrates via the
     exact XLA pass). All-zero counts mean near_field='skip' is exact for
     this batch — the fast path for far-field captures (bench.py uses this
     to pick the mode without paying the fallback's mid-pipeline sync).
-    patch_rows must match the value passed to integrate_frames_pallas."""
+    patch_rows and color_res must match the values passed to
+    integrate_frames_pallas."""
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
     H, W = depths.shape[1:]
@@ -712,11 +743,11 @@ def near_fallback_counts(created, depths, extrinsics,
     W = depths.shape[2]
     n_frames = depths.shape[0]
     extrinsics, depths = _pad_to_fpc(extrinsics, depths)
-    pr = min(patch_rows or PATCH_ROWS, H)
-    pr = max(8 * ((pr + 7) // 8), 16)
+    pr = _effective_patch_rows(patch_rows, H)
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
                             max_active, pr,
-                            min(DEPTH_WIN, W), n_frames, interpret)
+                            min(DEPTH_WIN, W), n_frames, interpret,
+                            color_res == "full")
     return sched[9]
 
 
@@ -746,8 +777,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # auto_patch_rows sizes this down (the exact slab-coverage test routes
     # any uncovered pair to the caller's fallback, so a small value can
     # only cost performance, never correctness).
-    patch_rows = min(patch_rows or PATCH_ROWS, H)
-    patch_rows = max(8 * ((patch_rows + 7) // 8), 16)  # 8-sublane, >=16
+    patch_rows = _effective_patch_rows(patch_rows, H)
     color_rows = patch_rows if full_color else min(64, H // 2)
     win = min(DEPTH_WIN, W)
 
@@ -789,7 +819,8 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     n_chunks = n_total // FPC
 
     sched = _block_schedule(created_in, depths, extrinsics, intr, vol_meta,
-                            max_active, patch_rows, win, n_frames, interpret)
+                            max_active, patch_rows, win, n_frames, interpret,
+                            full_color)
     (ids_all, act_kernel, pvf_all, pvh_all, puf_all, pcs_all, evec_all,
      created_all, skipped_c, skipped_counts) = sched
     dhi_c = dhi_all.reshape((n_chunks, FPC) + dhi_all.shape[1:])

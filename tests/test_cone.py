@@ -19,6 +19,7 @@ CAM = CameraConfig(width=160, height=120, fx=141.4002, fy=141.4002,
 
 
 class TestConeScenario:
+    @pytest.mark.slow
     def test_beats_published_numbers(self, tmp_path):
         scene = cone_room()
         intr = PinholeIntrinsics.from_config(CAM)

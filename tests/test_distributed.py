@@ -237,6 +237,7 @@ class TestSparseDataParallel:
         np.testing.assert_allclose(np.asarray(got.color),
                                    np.asarray(ref.color), atol=1e-3)
 
+    @pytest.mark.slow
     def test_creation_prefix_has_teeth(self, eight_devices):
         """The receding-surface workload genuinely depends on the creation
         prefix: shards fused independently (no earlier-device bands) lose
@@ -258,6 +259,7 @@ class TestSparseDataParallel:
         assert w_indep < 0.98 * float(jnp.sum(ref.weight)), (
             "fixture does not exercise the creation prefix")
 
+    @pytest.mark.slow
     def test_resumes_from_prior_volume(self, eight_devices):
         """Sharded fusion of the second half on top of a serially-fused
         first half equals the full serial run (prior running means merge
@@ -301,6 +303,7 @@ class TestSparseObjectParallel:
     """Object-axis sharding of the block-sparse path: one BlockTSDFVolume
     per device, zero integrate-time collectives."""
 
+    @pytest.mark.slow
     def test_matches_serial_per_object(self, eight_devices):
         import dataclasses as dc
 

@@ -88,6 +88,7 @@ class TestClosedLoop:
 
 
 class TestLocalizedMission:
+    @pytest.mark.slow
     def test_mission_with_drifting_odometry_and_localizer(self, tmp_path):
         """No oracle poses: odometry drifts per meter traveled; scan-to-map
         localization keeps the believed pose (and thus captures, goals, and

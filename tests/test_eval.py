@@ -167,6 +167,7 @@ class TestNoiseRobustness:
     CAM = CameraConfig(width=160, height=120, fx=141.4002, fy=141.4002,
                        cx=80.5, cy=60.5)
 
+    @pytest.mark.slow
     def test_cardboard_with_noisy_depth(self):
         from otslam_tpu.pipeline.reconstruct import (
             extract_filtered_cloud, fuse_frames)
@@ -204,6 +205,7 @@ class TestNoiseRobustness:
 
 
 class TestPallasBackendOnCPU:
+    @pytest.mark.slow
     def test_reconstruct_pallas_backend_works_off_tpu(self):
         """The default CLI backend must work on CPU (interpret mode)."""
         from otslam_tpu.pipeline.reconstruct import (

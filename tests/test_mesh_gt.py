@@ -158,6 +158,7 @@ class TestReferenceGTProtocol:
         analytic = sample_object_surfaces([box], 20000, seed=9)
         _parity(mesh_gt, analytic)
 
+    @pytest.mark.slow
     def test_cones_stl_matches_analytic(self):
         """UNIT_SCALE=0.01 centimeter STL assets, like eval_cone.py:28."""
         cones = cone_room().objects
@@ -167,6 +168,7 @@ class TestReferenceGTProtocol:
         analytic = sample_object_surfaces(list(cones), 40000, seed=9)
         _parity(mesh_gt, analytic)
 
+    @pytest.mark.slow
     def test_table_chair_dae_obj_matches_analytic(self):
         """Mixed-format scene: DAE table + OBJ chairs, per-asset scale and
         placement (the eval_table_chair.py:23-33 block)."""

@@ -23,6 +23,7 @@ def frame(i):
 
 
 class TestOnlineFusion:
+    @pytest.mark.slow
     def test_push_drain_extract(self):
         of = OnlineFusion(CFG, INTR, batch=4, max_active=512)
         for i in range(6):
@@ -38,6 +39,7 @@ class TestOnlineFusion:
         # weights reflect all six frames at the wall band
         assert float(of.volume.weight.max()) == 6.0
 
+    @pytest.mark.slow
     def test_threaded_producer(self):
         of = OnlineFusion(CFG, INTR, ring_capacity=32, batch=4,
                           max_active=512)

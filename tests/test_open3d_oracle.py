@@ -101,6 +101,7 @@ class TestPathsVsOracle:
         r = rmse_mm(ours, oracle_surface)
         assert r <= 1.0, f"dense RMSE {r:.3f} mm"
 
+    @pytest.mark.slow
     def test_sparse_path(self, capture, oracle_surface):
         depths, colors, exts, intr = capture
         vol = integrate_frames_sparse(
@@ -112,6 +113,7 @@ class TestPathsVsOracle:
         r = rmse_mm(ours, oracle_surface)
         assert r <= 1.0, f"sparse RMSE {r:.3f} mm"
 
+    @pytest.mark.slow
     def test_pallas_path(self, capture, oracle_surface):
         depths, colors, exts, intr = capture
         vol = integrate_frames_pallas(

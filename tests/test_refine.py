@@ -53,7 +53,12 @@ def perturb(exts, seed=0, t_sigma=0.012, r_sigma=0.008):
     return np.stack(out)
 
 
+@pytest.mark.slow
 class TestPoseRefinement:
+    """Full refine_trajectory scenarios (~2-5 min total on CPU); the fast
+    loop covers frame-to-model tracking via test_tracking and the VGA
+    subsample contract via TestFramePointSampling below."""
+
     def test_recovers_noisy_trajectory(self):
         intr = PinholeIntrinsics.from_config(CAM)
         depths, colors, exts_gt, box = make_captures()

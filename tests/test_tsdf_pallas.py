@@ -289,6 +289,7 @@ class TestNon128Width:
 
 
 class TestAutoPatchRows:
+    @pytest.mark.slow
     def test_small_slab_matches_default_bitwise(self):
         """auto_patch_rows shrinks the depth-slab M dimension (the dominant
         selection-dot cost) to the workload's projected v-spans; because
@@ -327,3 +328,157 @@ class TestAutoPatchRows:
                                     near_field="fallback")
         np.testing.assert_array_equal(np.asarray(s.weight),
                                       np.asarray(p.weight))
+
+
+@pytest.mark.slow
+class TestColorWindowSkew:
+    """Parallax-skewed blocks vs the half-res color row window.
+
+    Frames 17-19 of a VGA capture circle around a cube see far-side blocks
+    (created by earlier poses) whose projected v-span midpoint sits several
+    rows away from the block-center projection. The pre-round-3
+    center-anchored 64-row color window clipped up to 2 half-rows of such
+    pairs even though the depth slab covered them — those voxels
+    accumulated WEIGHT with ZERO color for the frame (a color bias the
+    parity suites never hit at small image sizes). The span-midpoint
+    anchor plus the color-window condition in the coverage test keep color
+    selection exact; this fixture self-checks that the old formula would
+    still clip it."""
+
+    INTR_VGA = PinholeIntrinsics(640, 480, 565.6009, 565.6009, 320.5, 240.5)
+
+    @staticmethod
+    def _circle_frames(intr, count, n=48):
+        """Analytic cube viewed from a capture circle (the bench.py
+        workload: eye radius 1.2 m, z=0.2, looking at a 0.4 m cube)."""
+        rays = np.asarray(intr.pixel_rays())
+        lo = np.array([-0.2, -0.2, 0.0])
+        hi = np.array([0.2, 0.2, 0.4])
+        depths, colors, exts = [], [], []
+        for i in range(count):
+            ang = 2 * np.pi * i / n
+            eye = np.array([1.2 * np.cos(ang), 1.2 * np.sin(ang), 0.2])
+            fwd = -eye / np.linalg.norm(eye)
+            up = np.array([0.0, 0.0, -1.0])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            down = np.cross(fwd, right)
+            R = np.stack([right, down, fwd], axis=1)
+            dirs = rays @ R.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = (lo - eye) / dirs
+                t2 = (hi - eye) / dirs
+            tmin = np.minimum(t1, t2).max(-1)
+            tmax = np.maximum(t1, t2).min(-1)
+            hit = (tmax > tmin) & (tmin > 0.1)
+            depths.append(np.where(hit, tmin, 0.0).astype(np.float32))
+            colors.append(np.full((intr.height, intr.width, 3), 128.0,
+                                  np.float32))
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = R
+            T[:3, 3] = eye
+            exts.append(np.linalg.inv(T).astype(np.float32))
+        return np.stack(depths), np.stack(colors), np.stack(exts)
+
+    @staticmethod
+    def _old_center_anchor_violations(vol, depths, exts, intr):
+        """Integrated (frame, block) pairs whose half-res color rows the
+        pre-round-3 center-projection pvh window would clip."""
+        import jax
+
+        from otslam_tpu.kernels.tsdf_block import BLOCK, _active_blocks
+        from otslam_tpu.kernels.tsdf_pallas import (_corner_bounds,
+                                                    _cumulative_or)
+
+        nb = vol.num_blocks
+        band, vis = jax.vmap(
+            lambda d, e: _active_blocks(vol, d, e, intr))(depths, exts)
+        created = _cumulative_or(band) | jnp.asarray(vol.created)[:nb][None]
+        active = np.asarray(created & vis)
+        H, W = intr.height, intr.width
+        pr, win, cr = 128, 256, 64
+        vm = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
+        by, bz = vol.grid_blocks[1], vol.grid_blocks[2]
+        side = BLOCK * vol.voxel_size
+        viol = 0
+        for f in range(active.shape[0]):
+            idn = np.nonzero(active[f])[0]
+            if idn.size == 0:
+                continue
+            bounds = _corner_bounds(vm, jnp.asarray(idn), exts[f], intr)
+            umin, umax, vmin, vmax, nbeh = (np.asarray(x) for x in bounds)
+            v_lo = np.clip(np.floor(vmin) - 1, 0, H - 1)
+            v_hi = np.clip(np.ceil(vmax) + 1, 0, H - 1)
+            u_lo = np.clip(np.floor(umin) - 1, 0, W - 1)
+            u_hi = np.clip(np.ceil(umax) + 1, 0, W - 1)
+            off = ((umax < -0.5) | (umin >= W - 0.5)
+                   | (vmax < -0.5) | (vmin >= H - 0.5))
+            ix = idn // (by * bz)
+            iy = (idn // bz) % by
+            iz = idn % bz
+            ctr = np.stack([vol.origin[0] + ix * side,
+                            vol.origin[1] + iy * side,
+                            vol.origin[2] + iz * side], -1) + side / 2
+            E = np.asarray(exts[f])
+            q = ctr @ E[:3, :3].T + E[:3, 3]
+            z = np.maximum(q[:, 2], 1e-3)
+            uc = intr.fx * q[:, 0] / z + intr.cx
+            vc = intr.fy * q[:, 1] / z + intr.cy
+            pvf = np.clip(np.round(vc).astype(int) - pr // 2, 0, H - pr) & ~7
+            puf = np.clip((np.round(uc).astype(int) - win // 2 + 64) & ~127,
+                          0, W - win)
+            covered = ((u_lo >= puf) & (u_hi < puf + win)
+                       & (v_lo >= pvf) & (v_hi < pvf + pr))
+            inter = (nbeh == 0) & ~off & covered
+            pvh_old = np.clip(np.round(vc / 2).astype(int) - cr // 2,
+                              0, H // 2 - cr) & ~7
+            ok = (((v_lo // 2).astype(int) >= pvh_old)
+                  & ((v_hi // 2).astype(int) < pvh_old + cr))
+            viol += int((inter & ~ok).sum())
+        return viol
+
+    def test_skewed_blocks_color_parity(self):
+        from otslam_tpu.kernels.tsdf_block import BlockTSDFVolume
+        from otslam_tpu.kernels.tsdf_pallas import (auto_max_active,
+                                                    near_fallback_counts)
+
+        intr = self.INTR_VGA
+        cfg = TSDFConfig()            # reference parameters, 256^3 @ 1 cm
+        d, c, e = self._circle_frames(intr, 20)
+        prefix = integrate_frames_sparse(
+            make_block_volume(cfg), jnp.asarray(d[:17]), jnp.asarray(c[:17]),
+            jnp.asarray(e[:17]), intr, max_active=1024)
+        prefix2 = BlockTSDFVolume(
+            jnp.array(prefix.tsdf), jnp.array(prefix.weight),
+            jnp.array(prefix.color), jnp.array(prefix.created),
+            prefix.origin, prefix.voxel_size, prefix.sdf_trunc,
+            prefix.grid_blocks)
+        depths = jnp.asarray(d[17:])
+        colors = jnp.asarray(c[17:])
+        exts = jnp.asarray(e[17:])
+
+        # fixture self-check: the old center-anchored window clips here
+        assert self._old_center_anchor_violations(
+            prefix, depths, exts, intr) >= 1
+
+        # the reworked schedule covers every pair — skip mode is exact
+        ma = int(auto_max_active(prefix, depths, exts, intr))
+        vm = (prefix.grid_blocks, prefix.origin, prefix.voxel_size,
+              prefix.sdf_trunc)
+        counts = np.asarray(near_fallback_counts(
+            prefix.created, depths, exts, intr, vm, ma, interpret=True))
+        assert counts.max() == 0
+
+        s = integrate_frames_sparse(prefix, depths, colors, exts, intr,
+                                    max_active=ma)
+        p = integrate_frames_pallas(prefix2, depths, colors, exts, intr,
+                                    max_active=ma, interpret=True,
+                                    near_field="skip")
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        m = (ws > 0) & (wp > 0)
+        assert m.sum() > 10000
+        cs = np.asarray(s.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        cp = np.asarray(p.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        # constant-128 color field: any clipped frame contribution shows
+        # up as a tens-of-units running-mean drop; exact selection is 0
+        assert np.abs(cs[:, m] - cp[:, m]).max() < 1.0

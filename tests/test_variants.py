@@ -3,6 +3,7 @@ dense baseline + map-size stats, mission persistence, GT-pose datasets."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from otslam_tpu.config import (
     CameraConfig, ClusterConfig, LidarConfig, MissionConfig, TrackerConfig,
@@ -87,6 +88,7 @@ class TestDenseBaseline:
     CAM = CameraConfig(width=160, height=120, fx=141.4002, fy=141.4002,
                        cx=80.5, cy=60.5)
 
+    @pytest.mark.slow
     def test_dense_reconstruction_and_size_reduction(self, tmp_path):
         scene = cardboard_room()
         intr = PinholeIntrinsics.from_config(self.CAM)
