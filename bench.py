@@ -51,7 +51,8 @@ def main():
     from otslam_tpu.config import TSDFConfig
     from otslam_tpu.core.camera import PinholeIntrinsics
     from otslam_tpu.kernels.tsdf_block import make_block_volume
-    from otslam_tpu.kernels.tsdf_pallas import (auto_max_active,
+    from otslam_tpu.kernels.tsdf_pallas import (auto_depth_win,
+                                                auto_max_active,
                                                 auto_patch_rows,
                                                 integrate_frames_pallas)
 
@@ -70,8 +71,10 @@ def main():
     # capture circle's projected v-spans at zero extra fallbacks)
     vol0 = make_block_volume(cfg)
     max_active = auto_max_active(vol0, depths, exts, intr)
+    depth_win = auto_depth_win(vol0, depths, exts, intr, max_active,
+                               interpret=not on_tpu)
     patch_rows = auto_patch_rows(vol0, depths, exts, intr, max_active,
-                                 interpret=not on_tpu)
+                                 interpret=not on_tpu, depth_win=depth_win)
     # far-field workloads (this capture circle) have zero uncovered pairs,
     # making near_field="skip" exact — verified here, untimed — and free of
     # the fallback mode's mid-pipeline host sync
@@ -79,14 +82,16 @@ def main():
     counts = np.asarray(near_fallback_counts(
         vol0.created, depths, exts, intr,
         (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc),
-        max_active, interpret=not on_tpu, patch_rows=patch_rows))
+        max_active, interpret=not on_tpu, patch_rows=patch_rows,
+        depth_win=depth_win))
     near_field = "skip" if counts.max() == 0 else "fallback"
 
     def run():
         vol = integrate_frames_pallas(
             make_block_volume(cfg), depths, colors, exts, intr,
             max_active=max_active, interpret=not on_tpu,
-            near_field=near_field, patch_rows=patch_rows)
+            near_field=near_field, patch_rows=patch_rows,
+            depth_win=depth_win)
         return vol.tsdf
 
     # warmup/compile

@@ -91,7 +91,8 @@ def _project(e, wx, wy, wz, intr):
 
 def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                  patch_rows: int, color_rows: int, nb: int, fpc: int,
-                 full_color: bool, grid_blocks, origin, voxel_size):
+                 full_color: bool, grid_blocks, origin, voxel_size,
+                 win: int, planes: int = 1):
     """Kernel processing ``fpc`` frames per call: the per-block row DMAs and
     state writes are shared across the frames (the dominant non-matmul
     cost), while each frame contributes its own projection + selection +
@@ -102,10 +103,19 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
     div/mod + a hoisted iota split — cheaper than streaming three
     pre-gathered (A, 512) row arrays in); depth arrives pre-split into bf16
     hi/lo images.
+
+    win: depth-slab lane window (the selection dots' K dimension).
+    planes: depth images arrive as (fpc*planes, H, W) frame-major stacks
+    of (128//planes)-lane-left-shifted copies — Mosaic only allows
+    128-multiple dynamic lane starts, so a window at a (128//planes)-
+    grained ``puf`` reads the plane matching ``puf % 128`` at the
+    128-aligned base. win=128 at 32-grained starts (planes=4) covers any
+    block whose projected u-span is < ~96 px at HALF the 128-grained
+    window's K — the dominant selection-dot cost. planes=1 expects
+    128-aligned ``puf`` (reads plane 0 directly).
     """
     H, W = intr.height, intr.width
     H2 = H // 2
-    win = min(DEPTH_WIN, W)
     V = BLOCK_VOXELS
     _, gby, gbz = grid_blocks
     ox, oy, oz = (float(o) for o in origin)
@@ -150,8 +160,18 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                     act = act_ref[f * A + k]
                     pvf = pl.multiple_of(pvf_ref[f * A + k], 8)
                     pvh = pl.multiple_of(pvh_ref[f * A + k], 8)
-                    puf = pl.multiple_of(puf_ref[f * A + k], 128)
                     pch = pcs_ref[f * A + k]        # 64-aligned color start
+                    if planes == 1:
+                        puf = pl.multiple_of(puf_ref[f * A + k], 128)
+                        base = puf
+                        dix = f
+                    else:
+                        # (128//planes)-grained window start: read the
+                        # matching lane-shifted plane at the aligned base
+                        grain = 128 // planes
+                        puf = pl.multiple_of(puf_ref[f * A + k], grain)
+                        base = pl.multiple_of(puf & ~127, 128)
+                        dix = f * planes + ((puf & 127) // grain)
 
                     u_r, v_r, pz_r = _project(e, wxr, wyr, wzr, intr)
 
@@ -172,10 +192,10 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
 
-                    M = (sel_dot(dhi_ref[f, pl.ds(pvf, patch_rows),
-                                         pl.ds(puf, win)])
-                         + sel_dot(dlo_ref[f, pl.ds(pvf, patch_rows),
-                                           pl.ds(puf, win)]))  # (pr, V)
+                    M = (sel_dot(dhi_ref[dix, pl.ds(pvf, patch_rows),
+                                         pl.ds(base, win)])
+                         + sel_dot(dlo_ref[dix, pl.ds(pvf, patch_rows),
+                                           pl.ds(base, win)]))  # (pr, V)
                     iota_pr = jax.lax.broadcasted_iota(
                         jnp.int32, (patch_rows, V), 0)
                     ovT = ((v_r - pvf) == iota_pr).astype(jnp.float32)
@@ -184,6 +204,7 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                     # --- color selection (per-channel dots, no concat) ---
                     if full_color:
                         # full-res: reuse the depth one-hot, window, and ovT
+                        # (planes == 1 only: puf is 128-aligned there)
                         iota_cr = iota_pr
                         ov_c = ovT
                         Mc = [sel_dot(cimg_ref[f,
@@ -257,31 +278,36 @@ FPC = 6  # frames per kernel call (share block row DMAs across frames)
 
 @functools.partial(jax.jit, static_argnames=(
     "intr", "vol_meta", "patch_rows", "color_rows", "full_color",
-    "interpret"))
+    "interpret", "win", "planes"))
 def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg, cimgs,
                           ids, act, pvf, pvh, puf, pcs, evec,
                           intr: PinholeIntrinsics, vol_meta,
                           patch_rows: int, color_rows: int,
-                          full_color: bool, interpret: bool = False):
+                          full_color: bool, interpret: bool = False,
+                          win: int | None = None, planes: int = 1):
     """Run the Pallas kernel over compact active-block rows for FPC frames.
 
     tsdf_rows/w_rows: (A, 512) f32; col_rows: (A, 1536) f32;
-    dhi/dlo: (FPC, H, W) bf16; cimg: (FPC, 3*Hc, Wc) bf16 (half mode:
-    Wc lane-padded to a 128 multiple for the color-window slices);
-    cimgs: cimg shifted left 64 lanes (half mode; a tiny dummy when
-    full_color — the kernel's full branch never reads it);
-    ids: (A,) i32; act/pvf/pvh/puf/pcs: (FPC*A,) i32 frame-major;
-    evec: (FPC*12,) f32 (extrinsic rows 0..2 per frame). Voxel world
-    coordinates are derived from the block id inside the kernel.
+    dhi/dlo: (FPC*planes, H, W) bf16 (planes>1: frame-major stacks of
+    lane-shifted copies for the fine-grained depth windows); cimg:
+    (FPC, 3*Hc, Wc) bf16 (half mode: Wc lane-padded to a 128 multiple for
+    the color-window slices); cimgs: cimg shifted left 64 lanes (half
+    mode; a tiny dummy when full_color — the kernel's full branch never
+    reads it); ids: (A,) i32; act/pvf/pvh/puf/pcs: (FPC*A,) i32
+    frame-major; evec: (FPC*12,) f32 (extrinsic rows 0..2 per frame).
+    Voxel world coordinates are derived from the block id inside the
+    kernel.
     """
     grid_blocks, origin, voxel_size, sdf_trunc = vol_meta
     nb = grid_blocks[0] * grid_blocks[1] * grid_blocks[2]
     A = tsdf_rows.shape[0]
     assert A % BPG == 0
-    fpc = dhi.shape[0]
+    win = min(DEPTH_WIN, dhi.shape[2]) if win is None else win
+    fpc = dhi.shape[0] // planes
 
     kernel = _make_kernel(intr, sdf_trunc, patch_rows, color_rows, nb, fpc,
-                          full_color, grid_blocks, origin, voxel_size)
+                          full_color, grid_blocks, origin, voxel_size,
+                          win, planes)
     row_spec = pl.BlockSpec((BPG, BLOCK_VOXELS), lambda i, *_: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -434,12 +460,12 @@ def _classify_blocks(depths, extrinsics, intr: PinholeIntrinsics, vol_meta,
             vis.reshape(n, nb).astype(bool))
 
 
-def _pad_width_128(W, *imgs):
+def _pad_width_128(W, win, *imgs):
     """Zero-pad the lane (width) axis of per-frame images to the next
     multiple of 128 when W exceeds the slab window and is not already
     aligned (e.g. QVGA 320 -> 384). Keeps every scheduled window start a
-    128-lane multiple; depth-0 padding never integrates."""
-    if W <= DEPTH_WIN or W % 128 == 0:
+    multiple of the window grain; depth-0 padding never integrates."""
+    if W <= win or W % 128 == 0:
         return imgs
     wpad = -(-W // 128) * 128 - W
     out = []
@@ -496,7 +522,8 @@ def auto_max_active(vol: BlockTSDFVolume, depths, extrinsics,
 
 def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
                     intr: PinholeIntrinsics, max_active: int,
-                    interpret: bool = False) -> int:
+                    interpret: bool = False,
+                    depth_win: int | None = None) -> int:
     """Smallest 8-multiple depth-slab height (the selection dots' M
     dimension) whose slab-coverage skip set matches the PATCH_ROWS
     default's — shrinking the dot costs zero extra fallbacks on this
@@ -513,7 +540,7 @@ def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
     def skipped(pr: int) -> int:
         return int(np.sum(np.asarray(near_fallback_counts(
             vol.created, depths, extrinsics, intr, vm, max_active,
-            interpret=interpret, patch_rows=pr))))
+            interpret=interpret, patch_rows=pr, depth_win=depth_win))))
 
     hi_u = min(PATCH_ROWS, H) // 8
     base = skipped(hi_u * 8)
@@ -525,6 +552,29 @@ def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
         else:
             lo_u = mid_u + 1
     return hi_u * 8
+
+
+def auto_depth_win(vol: BlockTSDFVolume, depths, extrinsics,
+                   intr: PinholeIntrinsics, max_active: int,
+                   patch_rows: int | None = None,
+                   interpret: bool = False) -> int:
+    """128 when the one-K-tile depth window (32-grained starts via 4
+    lane-shifted depth copies) covers exactly the pairs the 256-lane
+    default does on this workload — halving the depth selection dots' K
+    costs zero extra fallbacks there — else DEPTH_WIN. Far-field capture
+    circles project ~30-50 px block u-spans at VGA, well inside the
+    128-window's ~96 px guarantee. Exactness never depends on the choice
+    (uncovered pairs fall back); this only picks the faster config."""
+    depths = jnp.asarray(depths)
+    extrinsics = jnp.asarray(extrinsics)
+    vm = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
+
+    def skipped(dw: int | None) -> int:
+        return int(np.sum(np.asarray(near_fallback_counts(
+            vol.created, depths, extrinsics, intr, vm, max_active,
+            interpret=interpret, patch_rows=patch_rows, depth_win=dw))))
+
+    return 128 if skipped(128) == skipped(None) else DEPTH_WIN
 
 
 def _effective_patch_rows(patch_rows: int | None, H: int) -> int:
@@ -626,11 +676,17 @@ def _corner_coverage(bounds, intr: PinholeIntrinsics,
 def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
                     vol_meta, max_active: int, patch_rows: int, win: int,
                     n_frames: int, interpret: bool,
-                    full_color: bool = False):
+                    full_color: bool = False, planes: int = 1):
     """Per-chunk block schedule for the fusion scan (traced inline by its
     callers): activity classification, created evolution (cumulative OR),
     chunk-union compaction, per-frame act flags at the union ids, patch
     starts, the exact slab-coverage test, and the uncovered-pair counts.
+
+    planes>1 anchors the depth windows at (128//planes)-grained lane
+    starts (the kernel reads them from lane-shifted image copies), which
+    lets a win one K-tile wide cover far-field blocks; the coverage test
+    tightens accordingly, so pairs that no longer fit route to the
+    caller's exact fallback as usual.
 
     depths/extrinsics must already be padded to a multiple of FPC.
     """
@@ -666,6 +722,7 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
         lambda af, i: jnp.take(af, i, axis=1))(act_pad, ids_all)
 
     cr_half = min(64, H // 2)
+    grain = 128 // planes
 
     def starts(E, ids):
         bounds = _corner_bounds(vol_meta, ids, E, intr)
@@ -683,18 +740,20 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
         u_hi = jnp.clip(jnp.ceil(umax) + 1, 0, Wt - 1)
         vmid = jnp.where(jnp.isfinite(vmin), 0.5 * (v_lo + v_hi), 0.0)
         umid = jnp.where(jnp.isfinite(umin), 0.5 * (u_lo + u_hi), 0.0)
-        # rounded down to sublane multiples of 8 / lane multiples of 128
+        # rounded down to sublane multiples of 8 / lane multiples of the
+        # depth-window grain (128 classic; 128//planes with shifted planes)
         pvf = jnp.clip(jnp.round(vmid).astype(jnp.int32) - patch_rows // 2,
                        0, H - patch_rows) & ~7
         pvh = jnp.clip(jnp.round(0.5 * vmid).astype(jnp.int32)
                        - cr_half // 2, 0, H // 2 - cr_half) & ~7
-        puf = jnp.clip((jnp.round(umid).astype(jnp.int32) - win // 2 + 64)
-                       & ~127, 0, W - win)
+        puf = jnp.clip((jnp.round(umid).astype(jnp.int32) - win // 2
+                        + grain // 2) & ~(grain - 1), 0, W - win)
         # half-res color window start: a covered block's u-span is
-        # [puf, puf+win) -> u//2 in [puf//2, puf//2 + win//2), a <=128-lane
-        # span starting at the 64-aligned puf//2 (the kernel reads the
-        # 64-offset windows from a lane-shifted image copy)
-        pcs = puf // 2
+        # [puf, puf+win) -> u//2 in [puf//2, puf//2 + win//2), a span of
+        # <= win//2 + 48 <= 128 lanes from the 64-aligned floor of puf//2
+        # (the kernel reads the 64-offset windows from a lane-shifted
+        # image copy)
+        pcs = (puf // 2) & ~63
         covered = _corner_coverage(bounds, intr, patch_rows, win,
                                    pvf, puf, pvh, cr_half, full_color)
         return pvf, pvh, puf, pcs, covered
@@ -723,39 +782,53 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
 
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
                                               "max_active", "interpret",
-                                              "patch_rows", "color_res"))
+                                              "patch_rows", "color_res",
+                                              "depth_win"))
 def near_fallback_counts(created, depths, extrinsics,
                          intr: PinholeIntrinsics, vol_meta,
                          max_active: int, interpret: bool = False,
                          patch_rows: int | None = None,
-                         color_res: str = "half"):
+                         color_res: str = "half",
+                         depth_win: int | None = None):
     """Per-frame count of (frame, block) pairs the Pallas kernel's depth
     slab cannot cover (the pairs near_field='fallback' integrates via the
     exact XLA pass). All-zero counts mean near_field='skip' is exact for
     this batch — the fast path for far-field captures (bench.py uses this
     to pick the mode without paying the fallback's mid-pipeline sync).
-    patch_rows and color_res must match the values passed to
+    patch_rows, color_res, and depth_win must match the values passed to
     integrate_frames_pallas."""
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
     H, W = depths.shape[1:]
-    (depths,) = _pad_width_128(W, depths)
+    win0 = min(DEPTH_WIN if depth_win is None else depth_win, W)
+    (depths,) = _pad_width_128(W, win0, depths)
     W = depths.shape[2]
     n_frames = depths.shape[0]
     extrinsics, depths = _pad_to_fpc(extrinsics, depths)
     pr = _effective_patch_rows(patch_rows, H)
+    win, planes = _win_planes(depth_win, W)
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
-                            max_active, pr,
-                            min(DEPTH_WIN, W), n_frames, interpret,
-                            color_res == "full")
+                            max_active, pr, win, n_frames, interpret,
+                            color_res == "full", planes)
     return sched[9]
+
+
+def _win_planes(depth_win: int | None, W: int) -> Tuple[int, int]:
+    """Resolve the depth-window mode: (win, planes). depth_win=None is the
+    classic 2-K-tile window at 128-aligned starts; depth_win=128 is the
+    one-K-tile window at 32-grained starts read from 4 lane-shifted depth
+    copies (planes=4). Degenerate widths collapse to a single plane."""
+    win = min(DEPTH_WIN if depth_win is None else depth_win, W)
+    planes = 4 if (depth_win is not None and win == 128 and W > 128) else 1
+    return win, planes
 
 
 def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
                          extrinsics, intr: PinholeIntrinsics, vol_meta,
                          max_active: int, full_color: bool,
                          interpret: bool = False,
-                         patch_rows: int | None = None):
+                         patch_rows: int | None = None,
+                         depth_win: int | None = None):
     """The batched Pallas fusion pass. Returns updated (tsdf, weight, color,
     created). (frame, block) pairs failing the slab-coverage test are left
     untouched (handled by the caller's fallback pass)."""
@@ -769,7 +842,9 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # pl.multiple_of(puf, 128) promise) and a 32-lane-misaligned half-res
     # color window. Padded columns have depth 0 == invalid, so they never
     # integrate; validity tests use the true intr.width.
-    depths, colors = _pad_width_128(W, depths, colors)
+    depths, colors = _pad_width_128(
+        W, min(DEPTH_WIN if depth_win is None else depth_win, W),
+        depths, colors)
     W = depths.shape[2]
     # patch_rows sets the depth-slab dot's M dimension — the dominant MAC
     # cost. The PATCH_ROWS=128 default covers every block beyond ~0.66 m;
@@ -779,7 +854,12 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # only cost performance, never correctness).
     patch_rows = _effective_patch_rows(patch_rows, H)
     color_rows = patch_rows if full_color else min(64, H // 2)
-    win = min(DEPTH_WIN, W)
+    # depth_win=128 halves the depth selection dots' K (the dominant MAC
+    # cost after auto_patch_rows): fine-grained window starts come from 4
+    # lane-shifted depth copies (full-res color reuses the depth window at
+    # puf, which planes>1 misaligns — callers gate that combination)
+    win, planes = _win_planes(depth_win, W)
+    assert not (full_color and planes > 1)
 
     # pre-split bf16 depth (hi + lo rows reassemble exactly in the matmul)
     dhi_all = depths.astype(jnp.bfloat16)
@@ -820,11 +900,25 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
     sched = _block_schedule(created_in, depths, extrinsics, intr, vol_meta,
                             max_active, patch_rows, win, n_frames, interpret,
-                            full_color)
+                            full_color, planes)
     (ids_all, act_kernel, pvf_all, pvh_all, puf_all, pcs_all, evec_all,
      created_all, skipped_c, skipped_counts) = sched
-    dhi_c = dhi_all.reshape((n_chunks, FPC) + dhi_all.shape[1:])
-    dlo_c = dlo_all.reshape((n_chunks, FPC) + dlo_all.shape[1:])
+    if planes > 1:
+        # frame-major lane-shifted copies: plane p of frame f (row f*planes
+        # + p) is the image shifted left p*(128//planes) lanes, so the
+        # kernel's 128-aligned base read lands the window's true start
+        g = 128 // planes
+
+        def mkplanes(img):
+            return jnp.stack(
+                [jnp.pad(img[:, :, p * g:], ((0, 0), (0, 0), (0, p * g)))
+                 for p in range(planes)], axis=1,
+            ).reshape((img.shape[0] * planes,) + img.shape[1:])
+
+        dhi_all = mkplanes(dhi_all)
+        dlo_all = mkplanes(dlo_all)
+    dhi_c = dhi_all.reshape((n_chunks, FPC * planes) + dhi_all.shape[1:])
+    dlo_c = dlo_all.reshape((n_chunks, FPC * planes) + dlo_all.shape[1:])
     cimg_c = cimg_all.reshape((n_chunks, FPC) + cimg_all.shape[1:])
     cimgs_c = cimgs_all.reshape((n_chunks, FPC) + cimgs_all.shape[1:])
 
@@ -837,7 +931,8 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
         t_new, w_new, c_new = _update_active_blocks(
             t_rows, w_rows, c_rows,
             dhi, dlo, cimg, cimgs, ids, act, pvf, pvh, puf, pcs, evec, intr,
-            vol_meta, patch_rows, color_rows, full_color, interpret)
+            vol_meta, patch_rows, color_rows, full_color, interpret,
+            win=win, planes=planes)
         # no unique_indices: compact_ids pads with duplicate dead-row ids
         tsdf = tsdf.at[ids].set(t_new)
         weight = weight.at[ids].set(w_new)
@@ -854,7 +949,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
 _integrate_core = functools.partial(
     jax.jit, static_argnames=("intr", "vol_meta", "max_active", "full_color",
-                              "interpret", "patch_rows"),
+                              "interpret", "patch_rows", "depth_win"),
     donate_argnums=(0, 1, 2))(_integrate_core_impl)
 
 
@@ -917,7 +1012,8 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                             interpret: bool = False,
                             color_res: str = "half",
                             near_field: str = "fallback",
-                            patch_rows: int | None = None
+                            patch_rows: int | None = None,
+                            depth_win: int | None = None
                             ) -> BlockTSDFVolume:
     """Fuse a batch of frames through the Pallas block kernel.
 
@@ -940,12 +1036,30 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     >= ~0.66 m); auto_patch_rows sizes it to the workload's projected
     v-spans — far-field captures run ~2x fewer depth MACs. Uncovered
     pairs fall back exactly, whatever the value.
+
+    depth_win: depth-slab lane window = the K dimension of the selection
+    dots. None = the 256-lane default (window starts must be 128-aligned,
+    so guaranteed coverage is spans <= ~128 px); 128 halves the dots' K
+    and reads the windows at 32-grained starts from 4 lane-shifted depth
+    copies (coverage spans <= ~96 px — far-field workloads; requires
+    color_res="half"). auto_depth_win picks the cheapest setting with no
+    extra fallbacks. Uncovered pairs fall back exactly, whatever the
+    value.
     """
     if color_res not in ("half", "full"):
         raise ValueError(f"color_res must be 'half' or 'full': {color_res!r}")
     if near_field not in ("fallback", "skip"):
         raise ValueError(
             f"near_field must be 'fallback' or 'skip': {near_field!r}")
+    if depth_win not in (None, 128, DEPTH_WIN):
+        raise ValueError(f"depth_win must be None, 128, or {DEPTH_WIN}: "
+                         f"{depth_win!r}")
+    if depth_win == DEPTH_WIN:
+        depth_win = None
+    if depth_win is not None and color_res == "full":
+        raise ValueError("depth_win=128 requires color_res='half' (full-res "
+                         "color reuses the depth window, which shifted-plane "
+                         "starts misalign)")
     depths = jnp.asarray(depths)
     colors = jnp.asarray(colors)
     extrinsics = jnp.asarray(extrinsics)
@@ -955,7 +1069,7 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
      ids_all) = _integrate_core(
         vol.tsdf, vol.weight, vol.color, vol.created, depths, colors,
         extrinsics, intr, vol_meta, max_active, color_res == "full",
-        interpret, patch_rows)
+        interpret, patch_rows, depth_win)
 
     if near_field == "fallback":
         counts = np.asarray(skipped_counts)           # host sync (small)

@@ -330,6 +330,109 @@ class TestAutoPatchRows:
                                       np.asarray(p.weight))
 
 
+class TestDepthWin:
+    """depth_win=128: the one-K-tile depth window at 32-grained lane starts
+    (read from 4 lane-shifted depth copies — Mosaic only allows 128-aligned
+    dynamic lane starts). Selection is one-hot, so whenever the coverage
+    sets match, the result must be BIT-identical to the 256-lane default."""
+
+    INTR_MID = PinholeIntrinsics(384, 288, 320.0, 320.0, 192.0, 144.0)
+    CFG_MID = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(48, 48, 48),
+                         origin=(-0.48, -0.48, 0.4))
+
+    def _mid_scene(self, n=7):
+        """Far-field planes seen from laterally-offset tilted poses: block
+        u-spans are ~30-50 px, and the varied view geometry lands window
+        starts on all four 32-lane phases (asserted below)."""
+        depths, colors, exts = [], [], []
+        for i in range(n):
+            depths.append(np.full((288, 384), 1.05 + 0.03 * i, np.float32))
+            colors.append(np.tile(np.linspace(
+                0, 255, 384, dtype=np.float32)[None, :, None], (288, 1, 3)))
+            th = 0.05 * (i - n / 2)
+            E = np.eye(4, dtype=np.float32)
+            E[:3, :3] = np.array(
+                [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                 [-np.sin(th), 0, np.cos(th)]], np.float32)
+            E[:3, 3] = [0.02 * i - 0.05, 0.015 * (i % 3), 0.01 * i]
+            exts.append(E)
+        return (jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(colors)),
+                jnp.asarray(np.stack(exts)))
+
+    def test_all_window_phases_scheduled(self):
+        """The fixture must actually exercise every shifted plane."""
+        from otslam_tpu.kernels.tsdf_pallas import (
+            _block_schedule, _pad_to_fpc, _win_planes)
+        depths, colors, exts = self._mid_scene()
+        vol0 = make_block_volume(self.CFG_MID)
+        vm = (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc)
+        win, planes = _win_planes(128, depths.shape[2])
+        assert (win, planes) == (128, 4)
+        e2, d2 = _pad_to_fpc(exts, depths)
+        sched = _block_schedule(vol0.created, d2, e2, self.INTR_MID, vm,
+                                2048, 40, win, depths.shape[0], True, False,
+                                planes)
+        act, puf = np.asarray(sched[1]), np.asarray(sched[4])
+        phases = set(np.unique(puf[act > 0] % 128).tolist())
+        assert phases == {0, 32, 64, 96}
+
+    @pytest.mark.slow
+    def test_depth_win_128_matches_default_bitwise(self):
+        from otslam_tpu.kernels.tsdf_pallas import (auto_depth_win,
+                                                    near_fallback_counts)
+        depths, colors, exts = self._mid_scene()
+        vol0 = make_block_volume(self.CFG_MID)
+        vm = (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc)
+        assert auto_depth_win(vol0, depths, exts, self.INTR_MID, 2048,
+                              interpret=True) == 128
+        assert int(np.sum(np.asarray(near_fallback_counts(
+            vol0.created, depths, exts, self.INTR_MID, vm, 2048,
+            interpret=True, depth_win=128)))) == 0
+        p128 = integrate_frames_pallas(
+            make_block_volume(self.CFG_MID), depths, colors, exts,
+            self.INTR_MID, max_active=2048, interpret=True, depth_win=128)
+        p_def = integrate_frames_pallas(
+            make_block_volume(self.CFG_MID), depths, colors, exts,
+            self.INTR_MID, max_active=2048, interpret=True)
+        np.testing.assert_array_equal(np.asarray(p128.weight),
+                                      np.asarray(p_def.weight))
+        np.testing.assert_array_equal(np.asarray(p128.tsdf),
+                                      np.asarray(p_def.tsdf))
+        np.testing.assert_array_equal(np.asarray(p128.color),
+                                      np.asarray(p_def.color))
+
+    @pytest.mark.slow
+    def test_narrow_window_falls_back_exactly(self):
+        """Blocks whose u-span fits 256 but not 128 lanes (the near scene's
+        ~107 px spans) must route through the exact fallback under
+        depth_win=128, and auto_depth_win must refuse the narrow window."""
+        from otslam_tpu.kernels.tsdf_pallas import DEPTH_WIN, auto_depth_win
+        depths, colors, exts = TestNearField()._near_scene()
+        intr, cfg = TestNearField.INTR_BIG, TestNearField.CFG_NEAR
+        vol0 = make_block_volume(cfg)
+        assert auto_depth_win(vol0, depths, exts, intr, 512,
+                              interpret=True) == DEPTH_WIN
+        s = integrate_frames_sparse(make_block_volume(cfg), depths, colors,
+                                    exts, intr, max_active=512)
+        p = integrate_frames_pallas(make_block_volume(cfg), depths, colors,
+                                    exts, intr, max_active=512,
+                                    interpret=True, depth_win=128,
+                                    near_field="fallback")
+        np.testing.assert_array_equal(np.asarray(s.weight),
+                                      np.asarray(p.weight))
+        m = np.asarray(s.weight) > 0
+        np.testing.assert_allclose(np.asarray(p.tsdf)[m],
+                                   np.asarray(s.tsdf)[m], atol=1e-3)
+
+    def test_full_color_combination_rejected(self):
+        depths, colors, exts = scene()
+        with pytest.raises(ValueError, match="color_res"):
+            integrate_frames_pallas(
+                make_block_volume(CFG), depths, colors, exts, INTR,
+                max_active=64, interpret=True, depth_win=128,
+                color_res="full")
+
+
 @pytest.mark.slow
 class TestColorWindowSkew:
     """Parallax-skewed blocks vs the half-res color row window.
