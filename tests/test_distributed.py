@@ -238,6 +238,37 @@ class TestSparseDataParallel:
                                    np.asarray(ref.color), atol=1e-3)
 
     @pytest.mark.slow
+    def test_depth_win_128_matches_single_chip(self, eight_devices):
+        """The narrow (one-K-tile, shifted-plane) depth window composes
+        with frame sharding: same psum'd partial sums, window geometry
+        engaged for real (W=384 puts block windows on 32-lane phases)."""
+        from otslam_tpu.distributed.sparse import (
+            auto_max_active_sharded, fuse_frames_sparse_data_parallel)
+        from otslam_tpu.kernels.tsdf_block import make_block_volume
+        from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
+        from tests.test_tsdf_pallas import TestDepthWin
+
+        intr = TestDepthWin.INTR_MID
+        cfg = TestDepthWin.CFG_MID
+        d, c, e = TestDepthWin()._mid_scene(n=8)
+        mesh = make_mesh((4,), ("data",), eight_devices[:4])
+        got = fuse_frames_sparse_data_parallel(
+            make_block_volume(cfg), d, c, e, intr, mesh, interpret=True,
+            depth_win=128)
+        vol0 = make_block_volume(cfg)
+        ma = auto_max_active_sharded(vol0, d, e, intr, 4)
+        ref = integrate_frames_pallas(
+            make_block_volume(cfg), d, c, e, intr,
+            max_active=max(ma, 128), interpret=True, depth_win=128)
+        assert bool(jnp.all(got.created == ref.created))
+        np.testing.assert_allclose(np.asarray(got.weight),
+                                   np.asarray(ref.weight), atol=0)
+        np.testing.assert_allclose(np.asarray(got.tsdf),
+                                   np.asarray(ref.tsdf), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.color),
+                                   np.asarray(ref.color), atol=1e-3)
+
+    @pytest.mark.slow
     def test_creation_prefix_has_teeth(self, eight_devices):
         """The receding-surface workload genuinely depends on the creation
         prefix: shards fused independently (no earlier-device bands) lose
