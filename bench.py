@@ -51,7 +51,8 @@ def main():
     from otslam_tpu.config import TSDFConfig
     from otslam_tpu.core.camera import PinholeIntrinsics
     from otslam_tpu.kernels.tsdf_block import make_block_volume
-    from otslam_tpu.kernels.tsdf_pallas import (auto_depth_win,
+    from otslam_tpu.kernels.tsdf_pallas import (auto_color_rows,
+                                                auto_depth_win,
                                                 auto_max_active,
                                                 auto_patch_rows,
                                                 integrate_frames_pallas)
@@ -75,6 +76,9 @@ def main():
                                interpret=not on_tpu)
     patch_rows = auto_patch_rows(vol0, depths, exts, intr, max_active,
                                  interpret=not on_tpu, depth_win=depth_win)
+    color_rows = auto_color_rows(vol0, depths, exts, intr, max_active,
+                                 interpret=not on_tpu, depth_win=depth_win,
+                                 patch_rows=patch_rows)
     # far-field workloads (this capture circle) have zero uncovered pairs,
     # making near_field="skip" exact — verified here, untimed — and free of
     # the fallback mode's mid-pipeline host sync
@@ -83,7 +87,7 @@ def main():
         vol0.created, depths, exts, intr,
         (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc),
         max_active, interpret=not on_tpu, patch_rows=patch_rows,
-        depth_win=depth_win))
+        depth_win=depth_win, color_rows=color_rows))
     near_field = "skip" if counts.max() == 0 else "fallback"
 
     def run():
@@ -91,7 +95,7 @@ def main():
             make_block_volume(cfg), depths, colors, exts, intr,
             max_active=max_active, interpret=not on_tpu,
             near_field=near_field, patch_rows=patch_rows,
-            depth_win=depth_win)
+            depth_win=depth_win, color_rows=color_rows)
         return vol.tsdf
 
     # warmup/compile

@@ -113,7 +113,8 @@ def fuse_frames_sparse_data_parallel(
         color_res: str = "half", near_field: str = "fallback",
         max_near: int = 512, interpret: bool = False,
         patch_rows: int | None = None,
-        depth_win: int | None = None) -> BlockTSDFVolume:
+        depth_win: int | None = None,
+        color_rows: int | None = None) -> BlockTSDFVolume:
     """Frame-sharded block-sparse fusion (Pallas kernel per device, one
     psum of the per-block partial sums over the data axis).
 
@@ -168,7 +169,7 @@ def fuse_frames_sparse_data_parallel(
             _integrate_core_impl(
                 tsdf0, weight0, color0, created_start, d, c, e, intr,
                 vol_meta, max_active, full_color, interpret, patch_rows,
-                depth_win)
+                depth_win, color_rows)
         if near_field == "fallback":
             skipped = _expand_skipped(skipped_c, ids_all, nb, n_local)
             cpacked = jax.vmap(pack_rgb)(c)
@@ -205,7 +206,8 @@ def fuse_objects_sparse_parallel(
         axis: str = "data", max_active: int | None = None,
         color_res: str = "half", near_field: str = "fallback",
         max_near: int = 512, interpret: bool = False,
-        patch_rows: int | None = None, depth_win: int | None = None):
+        patch_rows: int | None = None, depth_win: int | None = None,
+        color_rows: int | None = None):
     """OBJECT-axis parallel block-sparse fusion: each device fuses the frame
     stacks of its object shard into per-object block volumes with the
     single-chip Pallas kernel — embarrassingly parallel, zero integrate-time
@@ -265,7 +267,7 @@ def fuse_objects_sparse_parallel(
         cr0 = jnp.zeros_like(proto.created)
         tsdf_o, w_o, c_o, cr_o, _, skipped_c, ids_all = _integrate_core_impl(
             tsdf0, w0, c0, cr0, d, c, e_shift, intr, vol_meta, max_active,
-            full_color, interpret, patch_rows, depth_win)
+            full_color, interpret, patch_rows, depth_win, color_rows)
         if near_field == "fallback":
             skipped = _expand_skipped(skipped_c, ids_all, nb, d.shape[0])
             cpacked = jax.vmap(pack_rgb)(c)

@@ -105,14 +105,16 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
     hi/lo images.
 
     win: depth-slab lane window (the selection dots' K dimension).
-    planes: depth images arrive as (fpc*planes, H, W) frame-major stacks
-    of (128//planes)-lane-left-shifted copies — Mosaic only allows
+    planes: depth images arrive as (fpc, planes*H, W) row-stacked
+    (128//planes)-lane-left-shifted copies — Mosaic only allows
     128-multiple dynamic lane starts, so a window at a (128//planes)-
     grained ``puf`` reads the plane matching ``puf % 128`` at the
-    128-aligned base. win=128 at 32-grained starts (planes=4) covers any
-    block whose projected u-span is < ~96 px at HALF the 128-grained
-    window's K — the dominant selection-dot cost. planes=1 expects
-    128-aligned ``puf`` (reads plane 0 directly).
+    128-aligned lane base, selecting the plane via the (dynamic,
+    8-aligned) sublane start ``plane*H + pvf`` — the same dynamic-slab
+    mechanism as pvf itself, no dynamic leading-dim indexing. win=128 at
+    32-grained starts (planes=4) covers any block whose projected u-span
+    is < ~96 px at HALF the 128-grained window's K — the dominant
+    selection-dot cost. planes=1 expects 128-aligned ``puf``.
     """
     H, W = intr.height, intr.width
     H2 = H // 2
@@ -164,14 +166,16 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                     if planes == 1:
                         puf = pl.multiple_of(puf_ref[f * A + k], 128)
                         base = puf
-                        dix = f
+                        prow = pvf
                     else:
                         # (128//planes)-grained window start: read the
-                        # matching lane-shifted plane at the aligned base
+                        # matching lane-shifted plane (stacked on rows) at
+                        # the 128-aligned lane base
                         grain = 128 // planes
                         puf = pl.multiple_of(puf_ref[f * A + k], grain)
                         base = pl.multiple_of(puf & ~127, 128)
-                        dix = f * planes + ((puf & 127) // grain)
+                        prow = pl.multiple_of(
+                            ((puf & 127) // grain) * H + pvf, 8)
 
                     u_r, v_r, pz_r = _project(e, wxr, wyr, wzr, intr)
 
@@ -192,9 +196,9 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT)
 
-                    M = (sel_dot(dhi_ref[dix, pl.ds(pvf, patch_rows),
+                    M = (sel_dot(dhi_ref[f, pl.ds(prow, patch_rows),
                                          pl.ds(base, win)])
-                         + sel_dot(dlo_ref[dix, pl.ds(pvf, patch_rows),
+                         + sel_dot(dlo_ref[f, pl.ds(prow, patch_rows),
                                            pl.ds(base, win)]))  # (pr, V)
                     iota_pr = jax.lax.broadcasted_iota(
                         jnp.int32, (patch_rows, V), 0)
@@ -288,8 +292,8 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg, cimgs,
     """Run the Pallas kernel over compact active-block rows for FPC frames.
 
     tsdf_rows/w_rows: (A, 512) f32; col_rows: (A, 1536) f32;
-    dhi/dlo: (FPC*planes, H, W) bf16 (planes>1: frame-major stacks of
-    lane-shifted copies for the fine-grained depth windows); cimg:
+    dhi/dlo: (FPC, planes*H, W) bf16 (planes>1: row-stacked lane-shifted
+    copies for the fine-grained depth windows); cimg:
     (FPC, 3*Hc, Wc) bf16 (half mode: Wc lane-padded to a 128 multiple for
     the color-window slices); cimgs: cimg shifted left 64 lanes (half
     mode; a tiny dummy when full_color — the kernel's full branch never
@@ -303,7 +307,7 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg, cimgs,
     A = tsdf_rows.shape[0]
     assert A % BPG == 0
     win = min(DEPTH_WIN, dhi.shape[2]) if win is None else win
-    fpc = dhi.shape[0] // planes
+    fpc = dhi.shape[0]
 
     kernel = _make_kernel(intr, sdf_trunc, patch_rows, color_rows, nb, fpc,
                           full_color, grid_blocks, origin, voxel_size,
@@ -584,6 +588,51 @@ def _effective_patch_rows(patch_rows: int | None, H: int) -> int:
     return max(8 * ((pr + 7) // 8), 16)
 
 
+def _effective_color_rows(color_rows: int | None, H: int) -> int:
+    """Clamp the requested half-res color window height (the color slab
+    dot's M/3): None keeps the min(64, H//2) default exactly; an explicit
+    value rounds DOWN to an 8-sublane multiple in [16, min(64, H//2)]
+    (never above the default — the window must stay inside the half-res
+    channel plane)."""
+    cap = min(64, H // 2)
+    if color_rows is None or cap < 16:
+        return cap
+    return min(max(16, 8 * (min(color_rows, cap) // 8)), cap)
+
+
+def auto_color_rows(vol: BlockTSDFVolume, depths, extrinsics,
+                    intr: PinholeIntrinsics, max_active: int,
+                    patch_rows: int | None = None,
+                    depth_win: int | None = None,
+                    interpret: bool = False) -> int:
+    """Smallest 8-multiple half-res color window height whose coverage
+    skip set matches the 64-row default's — the color slab dot's M is
+    3*color_rows, so far-field workloads (projected half-res v-spans
+    ~20-25 rows at VGA capture distance) cut the color MACs ~2x. Same
+    zero-extra-fallbacks construction as auto_patch_rows."""
+    depths = jnp.asarray(depths)
+    extrinsics = jnp.asarray(extrinsics)
+    H = depths.shape[1]
+    vm = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
+
+    def skipped(cr: int) -> int:
+        return int(np.sum(np.asarray(near_fallback_counts(
+            vol.created, depths, extrinsics, intr, vm, max_active,
+            interpret=interpret, patch_rows=patch_rows,
+            depth_win=depth_win, color_rows=cr))))
+
+    hi_u = _effective_color_rows(None, H) // 8
+    base = skipped(hi_u * 8)
+    lo_u = 2
+    while lo_u < hi_u:
+        mid_u = (lo_u + hi_u) // 2
+        if skipped(mid_u * 8) == base:
+            hi_u = mid_u
+        else:
+            lo_u = mid_u + 1
+    return hi_u * 8
+
+
 def _corner_bounds(vol_meta, ids, E, intr: PinholeIntrinsics):
     """Projected pixel bounds of the 8 corners of each block (per frame):
     (umin, umax, vmin, vmax, n_behind). Corners behind the camera plane
@@ -676,7 +725,8 @@ def _corner_coverage(bounds, intr: PinholeIntrinsics,
 def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
                     vol_meta, max_active: int, patch_rows: int, win: int,
                     n_frames: int, interpret: bool,
-                    full_color: bool = False, planes: int = 1):
+                    full_color: bool = False, planes: int = 1,
+                    color_rows: int | None = None):
     """Per-chunk block schedule for the fusion scan (traced inline by its
     callers): activity classification, created evolution (cumulative OR),
     chunk-union compaction, per-frame act flags at the union ids, patch
@@ -721,7 +771,7 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
     act_all = jax.vmap(
         lambda af, i: jnp.take(af, i, axis=1))(act_pad, ids_all)
 
-    cr_half = min(64, H // 2)
+    cr_half = _effective_color_rows(color_rows, H)
     grain = 128 // planes
 
     def starts(E, ids):
@@ -783,20 +833,21 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
                                               "max_active", "interpret",
                                               "patch_rows", "color_res",
-                                              "depth_win"))
+                                              "depth_win", "color_rows"))
 def near_fallback_counts(created, depths, extrinsics,
                          intr: PinholeIntrinsics, vol_meta,
                          max_active: int, interpret: bool = False,
                          patch_rows: int | None = None,
                          color_res: str = "half",
-                         depth_win: int | None = None):
+                         depth_win: int | None = None,
+                         color_rows: int | None = None):
     """Per-frame count of (frame, block) pairs the Pallas kernel's depth
     slab cannot cover (the pairs near_field='fallback' integrates via the
     exact XLA pass). All-zero counts mean near_field='skip' is exact for
     this batch — the fast path for far-field captures (bench.py uses this
     to pick the mode without paying the fallback's mid-pipeline sync).
-    patch_rows, color_res, and depth_win must match the values passed to
-    integrate_frames_pallas."""
+    patch_rows, color_res, depth_win, and color_rows must match the
+    values passed to integrate_frames_pallas."""
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
     H, W = depths.shape[1:]
@@ -809,7 +860,7 @@ def near_fallback_counts(created, depths, extrinsics,
     win, planes = _win_planes(depth_win, W)
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
                             max_active, pr, win, n_frames, interpret,
-                            color_res == "full", planes)
+                            color_res == "full", planes, color_rows)
     return sched[9]
 
 
@@ -828,7 +879,8 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
                          max_active: int, full_color: bool,
                          interpret: bool = False,
                          patch_rows: int | None = None,
-                         depth_win: int | None = None):
+                         depth_win: int | None = None,
+                         color_rows: int | None = None):
     """The batched Pallas fusion pass. Returns updated (tsdf, weight, color,
     created). (frame, block) pairs failing the slab-coverage test are left
     untouched (handled by the caller's fallback pass)."""
@@ -853,7 +905,10 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # any uncovered pair to the caller's fallback, so a small value can
     # only cost performance, never correctness).
     patch_rows = _effective_patch_rows(patch_rows, H)
-    color_rows = patch_rows if full_color else min(64, H // 2)
+    # half-mode color window rows = the color slab dot's M/3; auto-sized
+    # like patch_rows (full-res color reuses the depth slab geometry)
+    color_rows = (patch_rows if full_color
+                  else _effective_color_rows(color_rows, H))
     # depth_win=128 halves the depth selection dots' K (the dominant MAC
     # cost after auto_patch_rows): fine-grained window starts come from 4
     # lane-shifted depth copies (full-res color reuses the depth window at
@@ -900,25 +955,26 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
     sched = _block_schedule(created_in, depths, extrinsics, intr, vol_meta,
                             max_active, patch_rows, win, n_frames, interpret,
-                            full_color, planes)
+                            full_color, planes,
+                            None if full_color else color_rows)
     (ids_all, act_kernel, pvf_all, pvh_all, puf_all, pcs_all, evec_all,
      created_all, skipped_c, skipped_counts) = sched
     if planes > 1:
-        # frame-major lane-shifted copies: plane p of frame f (row f*planes
-        # + p) is the image shifted left p*(128//planes) lanes, so the
-        # kernel's 128-aligned base read lands the window's true start
+        # row-stacked lane-shifted copies: plane p of frame f (rows
+        # [p*H, (p+1)*H)) is the image shifted left p*(128//planes) lanes,
+        # so the kernel's 128-aligned lane-base read at sublane start
+        # p*H + pvf lands the window's true start
         g = 128 // planes
 
         def mkplanes(img):
-            return jnp.stack(
+            return jnp.concatenate(
                 [jnp.pad(img[:, :, p * g:], ((0, 0), (0, 0), (0, p * g)))
-                 for p in range(planes)], axis=1,
-            ).reshape((img.shape[0] * planes,) + img.shape[1:])
+                 for p in range(planes)], axis=1)
 
         dhi_all = mkplanes(dhi_all)
         dlo_all = mkplanes(dlo_all)
-    dhi_c = dhi_all.reshape((n_chunks, FPC * planes) + dhi_all.shape[1:])
-    dlo_c = dlo_all.reshape((n_chunks, FPC * planes) + dlo_all.shape[1:])
+    dhi_c = dhi_all.reshape((n_chunks, FPC) + dhi_all.shape[1:])
+    dlo_c = dlo_all.reshape((n_chunks, FPC) + dlo_all.shape[1:])
     cimg_c = cimg_all.reshape((n_chunks, FPC) + cimg_all.shape[1:])
     cimgs_c = cimgs_all.reshape((n_chunks, FPC) + cimgs_all.shape[1:])
 
@@ -949,7 +1005,8 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 
 _integrate_core = functools.partial(
     jax.jit, static_argnames=("intr", "vol_meta", "max_active", "full_color",
-                              "interpret", "patch_rows", "depth_win"),
+                              "interpret", "patch_rows", "depth_win",
+                              "color_rows"),
     donate_argnums=(0, 1, 2))(_integrate_core_impl)
 
 
@@ -1013,7 +1070,8 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                             color_res: str = "half",
                             near_field: str = "fallback",
                             patch_rows: int | None = None,
-                            depth_win: int | None = None
+                            depth_win: int | None = None,
+                            color_rows: int | None = None
                             ) -> BlockTSDFVolume:
     """Fuse a batch of frames through the Pallas block kernel.
 
@@ -1045,6 +1103,12 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     color_res="half"). auto_depth_win picks the cheapest setting with no
     extra fallbacks. Uncovered pairs fall back exactly, whatever the
     value.
+
+    color_rows: half-res color window rows = the color slab dot's M/3.
+    None = the min(64, H//2) default; auto_color_rows sizes it to the
+    workload's projected half-res v-spans (ignored with
+    color_res="full", which reuses the depth slab geometry). Uncovered
+    pairs fall back exactly, whatever the value.
     """
     if color_res not in ("half", "full"):
         raise ValueError(f"color_res must be 'half' or 'full': {color_res!r}")
@@ -1069,7 +1133,7 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
      ids_all) = _integrate_core(
         vol.tsdf, vol.weight, vol.color, vol.created, depths, colors,
         extrinsics, intr, vol_meta, max_active, color_res == "full",
-        interpret, patch_rows, depth_win)
+        interpret, patch_rows, depth_win, color_rows)
 
     if near_field == "fallback":
         counts = np.asarray(skipped_counts)           # host sync (small)

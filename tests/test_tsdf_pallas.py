@@ -433,6 +433,46 @@ class TestDepthWin:
                 color_res="full")
 
 
+class TestColorRows:
+    """auto_color_rows shrinks the half-res color window (the color slab
+    dot's M/3) to the workload's projected half-res v-spans — the same
+    zero-extra-fallbacks construction as auto_patch_rows."""
+
+    @pytest.mark.slow
+    def test_small_color_window_matches_default_bitwise(self):
+        from otslam_tpu.kernels.tsdf_pallas import auto_color_rows
+
+        intr = TestDepthWin.INTR_MID
+        cfg = TestDepthWin.CFG_MID
+        depths, colors, exts = TestDepthWin()._mid_scene()
+        vol0 = make_block_volume(cfg)
+        cr = auto_color_rows(vol0, depths, exts, intr, 2048, interpret=True)
+        assert cr % 8 == 0 and 16 <= cr < 64  # genuinely smaller than 64
+        p_small = integrate_frames_pallas(
+            make_block_volume(cfg), depths, colors, exts, intr,
+            max_active=2048, interpret=True, color_rows=cr)
+        p_def = integrate_frames_pallas(
+            make_block_volume(cfg), depths, colors, exts, intr,
+            max_active=2048, interpret=True)
+        np.testing.assert_array_equal(np.asarray(p_small.weight),
+                                      np.asarray(p_def.weight))
+        np.testing.assert_array_equal(np.asarray(p_small.tsdf),
+                                      np.asarray(p_def.tsdf))
+        np.testing.assert_array_equal(np.asarray(p_small.color),
+                                      np.asarray(p_def.color))
+
+    def test_too_small_color_window_falls_back_exactly(self):
+        depths, colors, exts = scene()
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64)
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=64,
+                                    interpret=True, color_rows=16,
+                                    near_field="fallback")
+        np.testing.assert_array_equal(np.asarray(s.weight),
+                                      np.asarray(p.weight))
+
+
 @pytest.mark.slow
 class TestColorWindowSkew:
     """Parallax-skewed blocks vs the half-res color row window.
