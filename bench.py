@@ -79,41 +79,56 @@ def main():
     color_rows = auto_color_rows(vol0, depths, exts, intr, max_active,
                                  interpret=not on_tpu, depth_win=depth_win,
                                  patch_rows=patch_rows)
-    # far-field workloads (this capture circle) have zero uncovered pairs,
-    # making near_field="skip" exact — verified here, untimed — and free of
-    # the fallback mode's mid-pipeline host sync
     from otslam_tpu.kernels.tsdf_pallas import near_fallback_counts
-    counts = np.asarray(near_fallback_counts(
-        vol0.created, depths, exts, intr,
-        (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc),
-        max_active, interpret=not on_tpu, patch_rows=patch_rows,
-        depth_win=depth_win, color_rows=color_rows))
-    near_field = "skip" if counts.max() == 0 else "fallback"
 
-    def run():
-        vol = integrate_frames_pallas(
-            make_block_volume(cfg), depths, colors, exts, intr,
-            max_active=max_active, interpret=not on_tpu,
-            near_field=near_field, patch_rows=patch_rows,
-            depth_win=depth_win, color_rows=color_rows)
-        return vol.tsdf
+    def measure(dw, cr):
+        # far-field workloads (this capture circle) have zero uncovered
+        # pairs, making near_field="skip" exact — verified here, untimed —
+        # and free of the fallback mode's mid-pipeline host sync
+        counts = np.asarray(near_fallback_counts(
+            vol0.created, depths, exts, intr,
+            (vol0.grid_blocks, vol0.origin, vol0.voxel_size,
+             vol0.sdf_trunc),
+            max_active, interpret=not on_tpu, patch_rows=patch_rows,
+            depth_win=dw, color_rows=cr))
+        near_field = "skip" if counts.max() == 0 else "fallback"
 
-    # warmup/compile
-    r = run()
-    _ = np.asarray(r[:2, 0])
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.time()
-        r = run()
+        def run():
+            vol = integrate_frames_pallas(
+                make_block_volume(cfg), depths, colors, exts, intr,
+                max_active=max_active, interpret=not on_tpu,
+                near_field=near_field, patch_rows=patch_rows,
+                depth_win=dw, color_rows=cr)
+            return vol.tsdf
+
+        r = run()                            # warmup/compile
         _ = np.asarray(r[:2, 0])
-        best = min(best, time.time() - t0)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            r = run()
+            _ = np.asarray(r[:2, 0])
+            best = min(best, time.time() - t0)
+        return n / best
 
-    fps = n / best
+    # the auto knobs are a coverage construction, not a timing one — time
+    # the auto config AGAINST the legacy window geometry and report the
+    # measured winner (auto-tuning, robust to silicon surprises)
+    configs = {(depth_win, color_rows): measure(depth_win, color_rows)}
+    if (depth_win, color_rows) != (None, None):
+        configs[(None, None)] = measure(None, None)
+    (dw_best, cr_best), fps = max(configs.items(), key=lambda kv: kv[1])
     out = {
         "metric": "vga_frames_fused_per_sec",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 500.0, 3),
+        "fusion_config": {
+            "patch_rows": patch_rows, "depth_win": dw_best or 256,
+            "color_rows": cr_best or 64, "max_active": int(max_active),
+            "alternates": {f"dw{k[0] or 256}_cr{k[1] or 64}": round(v, 1)
+                           for k, v in configs.items()},
+        },
     }
     # secondary metric inside the same single JSON line (ICP has no published
     # reference throughput; recorded for round-over-round tracking)

@@ -40,7 +40,8 @@ from otslam_tpu.core.camera import PinholeIntrinsics
 from otslam_tpu.kernels.tsdf_block import (
     BLOCK_VOXELS, BlockTSDFVolume, _active_blocks, pack_rgb)
 from otslam_tpu.kernels.tsdf_pallas import (
-    _expand_skipped, _integrate_core_impl, _near_fallback_impl)
+    _expand_skipped, _integrate_core_impl, _near_fallback_impl,
+    _validate_depth_win)
 
 
 def auto_max_active_sharded(vol: BlockTSDFVolume, depths, extrinsics,
@@ -139,6 +140,7 @@ def fuse_frames_sparse_data_parallel(
     if near_field not in ("fallback", "skip"):
         raise ValueError(
             f"near_field must be 'fallback' or 'skip': {near_field!r}")
+    depth_win = _validate_depth_win(depth_win, color_res)
     nd = mesh.shape[data_axis]
     n = depths.shape[0]
     if n % nd:
@@ -233,6 +235,9 @@ def fuse_objects_sparse_parallel(
     from otslam_tpu.kernels.tsdf_block import make_block_volume
     from otslam_tpu.kernels.tsdf_pallas import auto_max_active
 
+    if color_res not in ("half", "full"):
+        raise ValueError(f"color_res must be 'half' or 'full': {color_res!r}")
+    depth_win = _validate_depth_win(depth_win, color_res)
     nd = mesh.shape[axis]
     n_obj = depths.shape[0]
     if n_obj % nd:

@@ -546,9 +546,15 @@ def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
             vol.created, depths, extrinsics, intr, vm, max_active,
             interpret=interpret, patch_rows=pr, depth_win=depth_win))))
 
-    hi_u = min(PATCH_ROWS, H) // 8
+    return _shrink_rows_to_base(skipped, min(PATCH_ROWS, H) // 8)
+
+
+def _shrink_rows_to_base(skipped, hi_u: int, lo_u: int = 2) -> int:
+    """Binary search for the smallest 8-multiple row count whose coverage
+    skip count equals the hi_u*8 default's (skips are monotone
+    non-increasing in the window height, so equality with the default
+    means the skip SET is unchanged — shrinking costs zero fallbacks)."""
     base = skipped(hi_u * 8)
-    lo_u = 2
     while lo_u < hi_u:
         mid_u = (lo_u + hi_u) // 2
         if skipped(mid_u * 8) == base:
@@ -621,16 +627,7 @@ def auto_color_rows(vol: BlockTSDFVolume, depths, extrinsics,
             interpret=interpret, patch_rows=patch_rows,
             depth_win=depth_win, color_rows=cr))))
 
-    hi_u = _effective_color_rows(None, H) // 8
-    base = skipped(hi_u * 8)
-    lo_u = 2
-    while lo_u < hi_u:
-        mid_u = (lo_u + hi_u) // 2
-        if skipped(mid_u * 8) == base:
-            hi_u = mid_u
-        else:
-            lo_u = mid_u + 1
-    return hi_u * 8
+    return _shrink_rows_to_base(skipped, _effective_color_rows(None, H) // 8)
 
 
 def _corner_bounds(vol_meta, ids, E, intr: PinholeIntrinsics):
@@ -851,27 +848,50 @@ def near_fallback_counts(created, depths, extrinsics,
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
     H, W = depths.shape[1:]
-    win0 = min(DEPTH_WIN if depth_win is None else depth_win, W)
-    (depths,) = _pad_width_128(W, win0, depths)
+    (depths,) = _pad_width_128(W, _win_planes(depth_win, W, H)[0], depths)
     W = depths.shape[2]
     n_frames = depths.shape[0]
     extrinsics, depths = _pad_to_fpc(extrinsics, depths)
     pr = _effective_patch_rows(patch_rows, H)
-    win, planes = _win_planes(depth_win, W)
+    win, planes = _win_planes(depth_win, W, H)
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
                             max_active, pr, win, n_frames, interpret,
                             color_res == "full", planes, color_rows)
     return sched[9]
 
 
-def _win_planes(depth_win: int | None, W: int) -> Tuple[int, int]:
+def _validate_depth_win(depth_win: int | None,
+                        color_res: str) -> int | None:
+    """Shared entry-point validation: allowed values, DEPTH_WIN->None
+    normalization, and the full-res-color gate (full-res color reuses the
+    depth window at puf, which shifted-plane starts misalign)."""
+    if depth_win not in (None, 128, DEPTH_WIN):
+        raise ValueError(f"depth_win must be None, 128, or {DEPTH_WIN}: "
+                         f"{depth_win!r}")
+    if depth_win == DEPTH_WIN:
+        depth_win = None
+    if depth_win is not None and color_res == "full":
+        raise ValueError("depth_win=128 requires color_res='half' (full-res "
+                         "color reuses the depth window, which shifted-plane "
+                         "starts misalign)")
+    return depth_win
+
+
+def _win_planes(depth_win: int | None, W: int, H: int) -> Tuple[int, int]:
     """Resolve the depth-window mode: (win, planes). depth_win=None is the
     classic 2-K-tile window at 128-aligned starts; depth_win=128 is the
     one-K-tile window at 32-grained starts read from 4 lane-shifted depth
-    copies (planes=4). Degenerate widths collapse to a single plane."""
+    copies (planes=4). Degenerate widths collapse to a single plane, as
+    does a non-8-multiple image height (the plane select is the dynamic
+    sublane start plane*H + pvf, whose 8-alignment promise needs 8 | H)."""
     win = min(DEPTH_WIN if depth_win is None else depth_win, W)
-    planes = 4 if (depth_win is not None and win == 128 and W > 128) else 1
-    return win, planes
+    if depth_win is not None and win == 128 and W > 128:
+        if H % 8 == 0:
+            return 128, 4
+        # shifted planes unavailable: fall back to the classic window
+        # (win=128 at 128-grain starts would skip nearly every pair)
+        return min(DEPTH_WIN, W), 1
+    return win, 1
 
 
 def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
@@ -895,8 +915,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # color window. Padded columns have depth 0 == invalid, so they never
     # integrate; validity tests use the true intr.width.
     depths, colors = _pad_width_128(
-        W, min(DEPTH_WIN if depth_win is None else depth_win, W),
-        depths, colors)
+        W, _win_planes(depth_win, W, H)[0], depths, colors)
     W = depths.shape[2]
     # patch_rows sets the depth-slab dot's M dimension — the dominant MAC
     # cost. The PATCH_ROWS=128 default covers every block beyond ~0.66 m;
@@ -912,8 +931,9 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # depth_win=128 halves the depth selection dots' K (the dominant MAC
     # cost after auto_patch_rows): fine-grained window starts come from 4
     # lane-shifted depth copies (full-res color reuses the depth window at
-    # puf, which planes>1 misaligns — callers gate that combination)
-    win, planes = _win_planes(depth_win, W)
+    # puf, which planes>1 misaligns — _validate_depth_win gates that
+    # combination at every public entry point)
+    win, planes = _win_planes(depth_win, W, H)
     assert not (full_color and planes > 1)
 
     # pre-split bf16 depth (hi + lo rows reassemble exactly in the matmul)
@@ -1115,15 +1135,7 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     if near_field not in ("fallback", "skip"):
         raise ValueError(
             f"near_field must be 'fallback' or 'skip': {near_field!r}")
-    if depth_win not in (None, 128, DEPTH_WIN):
-        raise ValueError(f"depth_win must be None, 128, or {DEPTH_WIN}: "
-                         f"{depth_win!r}")
-    if depth_win == DEPTH_WIN:
-        depth_win = None
-    if depth_win is not None and color_res == "full":
-        raise ValueError("depth_win=128 requires color_res='half' (full-res "
-                         "color reuses the depth window, which shifted-plane "
-                         "starts misalign)")
+    depth_win = _validate_depth_win(depth_win, color_res)
     depths = jnp.asarray(depths)
     colors = jnp.asarray(colors)
     extrinsics = jnp.asarray(extrinsics)

@@ -366,7 +366,7 @@ class TestDepthWin:
         depths, colors, exts = self._mid_scene()
         vol0 = make_block_volume(self.CFG_MID)
         vm = (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc)
-        win, planes = _win_planes(128, depths.shape[2])
+        win, planes = _win_planes(128, depths.shape[2], depths.shape[1])
         assert (win, planes) == (128, 4)
         e2, d2 = _pad_to_fpc(exts, depths)
         sched = _block_schedule(vol0.created, d2, e2, self.INTR_MID, vm,
@@ -461,16 +461,36 @@ class TestColorRows:
         np.testing.assert_array_equal(np.asarray(p_small.color),
                                       np.asarray(p_def.color))
 
+    @pytest.mark.slow
     def test_too_small_color_window_falls_back_exactly(self):
-        depths, colors, exts = scene()
-        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
-                                    exts, INTR, max_active=64)
-        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
-                                    exts, INTR, max_active=64,
+        """An undersized color window must actually ROUTE pairs to the
+        fallback (asserted via near_fallback_counts — the mid scene's
+        ~24 half-res-row spans overflow 16 rows) and the fallback must
+        keep weight, tsdf, AND color exact."""
+        from otslam_tpu.kernels.tsdf_pallas import near_fallback_counts
+        intr = TestDepthWin.INTR_MID
+        cfg = TestDepthWin.CFG_MID
+        depths, colors, exts = TestDepthWin()._mid_scene(n=2)
+        vol0 = make_block_volume(cfg)
+        vm = (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc)
+        assert int(np.sum(np.asarray(near_fallback_counts(
+            vol0.created, depths, exts, intr, vm, 2048, interpret=True,
+            color_rows=16)))) > 0
+        s = integrate_frames_sparse(make_block_volume(cfg), depths, colors,
+                                    exts, intr, max_active=2048)
+        p = integrate_frames_pallas(make_block_volume(cfg), depths, colors,
+                                    exts, intr, max_active=2048,
                                     interpret=True, color_rows=16,
                                     near_field="fallback")
         np.testing.assert_array_equal(np.asarray(s.weight),
                                       np.asarray(p.weight))
+        m = np.asarray(s.weight) > 0
+        np.testing.assert_allclose(np.asarray(p.tsdf)[m],
+                                   np.asarray(s.tsdf)[m], atol=1e-3)
+        cs = np.asarray(s.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        cp = np.asarray(p.color).reshape(-1, 3, 512).transpose(1, 0, 2)
+        assert np.abs(cs[:, m] - cp[:, m]).max() < 4.1  # one half-res pixel
+        # of this 384-px gradient (255/383*2*3 color steps) + quantization
 
 
 @pytest.mark.slow
