@@ -6,9 +6,24 @@ the reference configuration (1 cm voxels, 4 cm truncation, 256^3 grid,
 640x480 frames), and prints one JSON line. Baseline = the BASELINE.json
 north-star target of 500 frames/s/chip (the reference publishes no
 throughput numbers; its Open3D CPU path measures ~10 f/s class).
+
+Structure: the parent process never touches the device — each measurement
+(fusion in its legacy and auto window configs, then the secondary metrics)
+runs in a TIMEOUT-BOUNDED CHILD process with one retry. Remote Pallas
+compiles through the axon tunnel occasionally stall; killing the child and
+retrying hits the persistent compile cache for everything that finished,
+so the bench self-heals instead of hanging with no output. The fusion
+configs are measured independently and the faster one is reported (the
+auto window knobs are a coverage construction, not a timing one).
+
+Set OTSLAM_BENCH_PLATFORM=cpu to force the CPU path (the bare
+JAX_PLATFORMS env var is unreliable on this image).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -44,115 +59,162 @@ def _make_frames(intr, n):
     return (np.stack(depths), np.stack(colors), np.stack(exts))
 
 
-def main():
+def _child_setup():
+    """Per-child device/platform init + the shared fusion workload."""
+    plat = os.environ.get("OTSLAM_BENCH_PLATFORM")
     import jax
+
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from otslam_tpu.config import TSDFConfig
     from otslam_tpu.core.camera import PinholeIntrinsics
-    from otslam_tpu.kernels.tsdf_block import make_block_volume
-    from otslam_tpu.kernels.tsdf_pallas import (auto_color_rows,
-                                                auto_depth_win,
-                                                auto_max_active,
-                                                auto_patch_rows,
-                                                integrate_frames_pallas)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     intr = PinholeIntrinsics(width=640, height=480, fx=565.6009, fy=565.6009,
                              cx=320.5, cy=240.5)
     cfg = TSDFConfig()  # 256^3 @ 1 cm, trunc 4 cm (reference parameters)
     n = 384 if on_tpu else 4
-
     d, c, e = _make_frames(intr, n)
-    depths = jnp.asarray(d)
-    colors = jnp.asarray(c)
-    exts = jnp.asarray(e)
-    # capacity + slab height sized to the workload (exact bounds from the
-    # scheduling pass: auto_patch_rows shrinks the selection dots' M to the
-    # capture circle's projected v-spans at zero extra fallbacks)
+    return (on_tpu, intr, cfg, n, jnp.asarray(d), jnp.asarray(c),
+            jnp.asarray(e))
+
+
+def fusion_child(mode: str) -> None:
+    """Measure one fusion config ("auto" = workload-sized window knobs,
+    "legacy" = the 256-lane / 64-row defaults) and print a JSON line."""
+    on_tpu, intr, cfg, n, depths, colors, exts = _child_setup()
+
+    from otslam_tpu.kernels.tsdf_block import make_block_volume
+    from otslam_tpu.kernels.tsdf_pallas import (auto_color_rows,
+                                                auto_depth_win,
+                                                auto_max_active,
+                                                auto_patch_rows,
+                                                integrate_frames_pallas,
+                                                near_fallback_counts)
+
+    # capacity + slab geometry sized to the workload (exact bounds from the
+    # scheduling pass; each knob keeps the coverage skip set unchanged, so
+    # shrinking the dots costs zero extra fallbacks)
     vol0 = make_block_volume(cfg)
     max_active = auto_max_active(vol0, depths, exts, intr)
-    depth_win = auto_depth_win(vol0, depths, exts, intr, max_active,
-                               interpret=not on_tpu)
     patch_rows = auto_patch_rows(vol0, depths, exts, intr, max_active,
-                                 interpret=not on_tpu, depth_win=depth_win)
-    color_rows = auto_color_rows(vol0, depths, exts, intr, max_active,
-                                 interpret=not on_tpu, depth_win=depth_win,
-                                 patch_rows=patch_rows)
-    from otslam_tpu.kernels.tsdf_pallas import near_fallback_counts
+                                 interpret=not on_tpu)
+    if mode == "auto":
+        depth_win = auto_depth_win(vol0, depths, exts, intr, max_active,
+                                   interpret=not on_tpu)
+        color_rows = auto_color_rows(vol0, depths, exts, intr, max_active,
+                                     interpret=not on_tpu,
+                                     depth_win=depth_win,
+                                     patch_rows=patch_rows)
+    else:
+        depth_win = None
+        color_rows = None
+    # far-field workloads (this capture circle) have zero uncovered pairs,
+    # making near_field="skip" exact — verified here, untimed — and free of
+    # the fallback mode's mid-pipeline host sync
+    counts = np.asarray(near_fallback_counts(
+        vol0.created, depths, exts, intr,
+        (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc),
+        max_active, interpret=not on_tpu, patch_rows=patch_rows,
+        depth_win=depth_win, color_rows=color_rows))
+    near_field = "skip" if counts.max() == 0 else "fallback"
 
-    def measure(dw, cr):
-        # far-field workloads (this capture circle) have zero uncovered
-        # pairs, making near_field="skip" exact — verified here, untimed —
-        # and free of the fallback mode's mid-pipeline host sync
-        counts = np.asarray(near_fallback_counts(
-            vol0.created, depths, exts, intr,
-            (vol0.grid_blocks, vol0.origin, vol0.voxel_size,
-             vol0.sdf_trunc),
-            max_active, interpret=not on_tpu, patch_rows=patch_rows,
-            depth_win=dw, color_rows=cr))
-        near_field = "skip" if counts.max() == 0 else "fallback"
+    def run():
+        vol = integrate_frames_pallas(
+            make_block_volume(cfg), depths, colors, exts, intr,
+            max_active=max_active, interpret=not on_tpu,
+            near_field=near_field, patch_rows=patch_rows,
+            depth_win=depth_win, color_rows=color_rows)
+        return vol.tsdf
 
-        def run():
-            vol = integrate_frames_pallas(
-                make_block_volume(cfg), depths, colors, exts, intr,
-                max_active=max_active, interpret=not on_tpu,
-                near_field=near_field, patch_rows=patch_rows,
-                depth_win=dw, color_rows=cr)
-            return vol.tsdf
-
-        r = run()                            # warmup/compile
+    r = run()                            # warmup/compile
+    _ = np.asarray(r[:2, 0])
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        r = run()
         _ = np.asarray(r[:2, 0])
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.time()
-            r = run()
-            _ = np.asarray(r[:2, 0])
-            best = min(best, time.time() - t0)
-        return n / best
+        best = min(best, time.time() - t0)
+    print(json.dumps({
+        "fps": round(n / best, 1), "patch_rows": patch_rows,
+        "depth_win": depth_win or 256, "color_rows": color_rows or 64,
+        "max_active": int(max_active)}))
 
-    # the auto knobs are a coverage construction, not a timing one — time
-    # the auto config AGAINST the legacy window geometry and report the
-    # measured winner (auto-tuning, robust to silicon surprises)
-    configs = {(depth_win, color_rows): measure(depth_win, color_rows)}
-    if (depth_win, color_rows) != (None, None):
-        configs[(None, None)] = measure(None, None)
-    (dw_best, cr_best), fps = max(configs.items(), key=lambda kv: kv[1])
-    out = {
-        "metric": "vga_frames_fused_per_sec",
-        "value": round(fps, 1),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / 500.0, 3),
-        "fusion_config": {
-            "patch_rows": patch_rows, "depth_win": dw_best or 256,
-            "color_rows": cr_best or 64, "max_active": int(max_active),
-            "alternates": {f"dw{k[0] or 256}_cr{k[1] or 64}": round(v, 1)
-                           for k, v in configs.items()},
-        },
-    }
-    # secondary metric inside the same single JSON line (ICP has no published
-    # reference throughput; recorded for round-over-round tracking)
+
+def secondary_child() -> None:
+    """ICP, perception-tick, and mesh-extraction metrics in one child."""
+    on_tpu, intr, cfg, n, depths, colors, exts = _child_setup()
+    out = {}
     try:
         import bench_icp
 
         icp = bench_icp.measure()
         out["icp_iterations_per_sec"] = icp["value"]
         out["icp_unit"] = icp["unit"]
-    except Exception as e:  # never let the secondary break the headline line
+    except Exception as e:
         out["icp_error"] = repr(e)[:120]
     try:
-        pt = measure_perception_ticks()
-        out["perception_ticks_per_sec"] = pt
+        out["perception_ticks_per_sec"] = measure_perception_ticks()
         out["perception_unit"] = "ticks/s (1440 beams, 512^2 map, K=64)"
     except Exception as e:
         out["perception_error"] = repr(e)[:120]
     try:
-        me = measure_mesh_extract(depths[:16], colors[:16], exts[:16],
-                                  intr, cfg)
-        out["mesh_extracts_per_sec"] = me
+        out["mesh_extracts_per_sec"] = measure_mesh_extract(
+            depths[:16], colors[:16], exts[:16], intr, cfg)
         out["mesh_unit"] = "extractions/s (256^3 marching tetrahedra)"
     except Exception as exc:
         out["mesh_error"] = repr(exc)[:120]
+    print(json.dumps(out))
+
+
+def _run_child(mode: str, timeouts=(900, 1500)):
+    """Run `python bench.py --child MODE`, retrying once on a stall/timeout
+    (the persistent compile cache makes the retry cheap for everything the
+    first attempt finished compiling). Returns the child's parsed JSON, or
+    {"error": ...} if both attempts fail."""
+    err = "unknown"
+    for t in timeouts:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", mode],
+                capture_output=True, text=True, timeout=t,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            err = f"timeout after {t}s (stalled compile?); retried"
+            continue
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            return json.loads(lines[-1])
+        err = (proc.stderr.strip().splitlines() or ["no output"])[-1][:200]
+    return {"error": err}
+
+
+def main():
+    legacy = _run_child("fusion-legacy")
+    auto = _run_child("fusion-auto")
+    candidates = [r for r in (auto, legacy) if "fps" in r]
+    out = {"metric": "vga_frames_fused_per_sec", "unit": "frames/s/chip"}
+    if candidates:
+        best = max(candidates, key=lambda r: r["fps"])
+        out["value"] = best["fps"]
+        out["vs_baseline"] = round(best["fps"] / 500.0, 3)
+        out["fusion_config"] = {
+            k: best[k] for k in ("patch_rows", "depth_win", "color_rows",
+                                 "max_active")}
+        out["fusion_config"]["alternates"] = {
+            f"dw{r.get('depth_win')}_cr{r.get('color_rows')}": r["fps"]
+            for r in candidates}
+    else:
+        out["value"] = 0.0
+        out["vs_baseline"] = 0.0
+        out["fusion_error"] = {"legacy": legacy.get("error"),
+                               "auto": auto.get("error")}
+    sec = _run_child("secondary", timeouts=(1200, 1500))
+    if "error" in sec:
+        out["secondary_error"] = sec.pop("error")
+    out.update(sec)
     print(json.dumps(out))
 
 
@@ -237,4 +299,15 @@ def measure_perception_ticks(k: int = 64) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        mode = sys.argv[2]
+        if mode == "fusion-auto":
+            fusion_child("auto")
+        elif mode == "fusion-legacy":
+            fusion_child("legacy")
+        elif mode == "secondary":
+            secondary_child()
+        else:
+            raise SystemExit(f"unknown child mode {mode!r}")
+    else:
+        main()
