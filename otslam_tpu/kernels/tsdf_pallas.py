@@ -588,10 +588,12 @@ def auto_depth_win(vol: BlockTSDFVolume, depths, extrinsics,
 
 
 def _effective_patch_rows(patch_rows: int | None, H: int) -> int:
-    """Clamp the requested depth-slab height: 8-sublane multiple, >= 16,
-    <= image height."""
-    pr = min(patch_rows or PATCH_ROWS, H)
-    return max(8 * ((pr + 7) // 8), 16)
+    """Clamp the requested depth-slab height: 8-sublane multiple, >= 16
+    where the image allows, and NEVER above H (rounding up past a
+    non-8-multiple H would slice the depth slab out of bounds — the
+    clipped pvf start goes to 0 but the slab still overruns the image)."""
+    pr = 8 * (min(patch_rows or PATCH_ROWS, H) // 8)
+    return max(pr, min(16, 8 * (H // 8)))
 
 
 def _effective_color_rows(color_rows: int | None, H: int) -> int:

@@ -432,6 +432,33 @@ class TestDepthWin:
                 max_active=64, interpret=True, depth_win=128,
                 color_res="full")
 
+    def test_non_8_multiple_height_falls_back_to_classic_window(self):
+        """The shifted-plane select is a dynamic sublane start plane*H +
+        pvf whose 8-alignment promise needs 8 | H — for other heights
+        depth_win=128 must quietly become the classic 256 window (win=128
+        at 128-grain starts would skip nearly every pair)."""
+        from otslam_tpu.kernels.tsdf_pallas import DEPTH_WIN, _win_planes
+        assert _win_planes(128, 384, 288) == (128, 4)
+        assert _win_planes(128, 384, 100) == (min(DEPTH_WIN, 384), 1)
+        assert _win_planes(None, 384, 100) == (min(DEPTH_WIN, 384), 1)
+        # end-to-end at H=100: same result as an explicit classic window
+        intr = PinholeIntrinsics(256, 100, 120.0, 120.0, 128.0, 50.0)
+        cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(32, 32, 32),
+                         origin=(-0.32, -0.32, 0.2))
+        depths = jnp.asarray(np.full((1, 100, 256), 0.62, np.float32))
+        colors = jnp.asarray(np.full((1, 100, 256, 3), 90.0, np.float32))
+        exts = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+        p128 = integrate_frames_pallas(
+            make_block_volume(cfg), depths, colors, exts, intr,
+            max_active=256, interpret=True, depth_win=128)
+        p_def = integrate_frames_pallas(
+            make_block_volume(cfg), depths, colors, exts, intr,
+            max_active=256, interpret=True)
+        np.testing.assert_array_equal(np.asarray(p128.weight),
+                                      np.asarray(p_def.weight))
+        np.testing.assert_array_equal(np.asarray(p128.tsdf),
+                                      np.asarray(p_def.tsdf))
+
 
 class TestColorRows:
     """auto_color_rows shrinks the half-res color window (the color slab
