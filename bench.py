@@ -191,7 +191,31 @@ def _run_child(mode: str, timeouts=(900, 1500)):
     return {"error": err}
 
 
+def probe_child() -> None:
+    """Fast device-reachability probe: one tiny computation end to end."""
+    plat = os.environ.get("OTSLAM_BENCH_PLATFORM")
+    import jax
+
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+
+    d = jax.devices()[0]
+    assert float((jnp.ones((8, 128)) * 2).sum()) == 2048.0
+    print(json.dumps({"platform": d.platform}))
+
+
 def main():
+    # the axon relay has been observed fully down (even jax.devices()
+    # hangs) — fail in ~2 min with a diagnostic line instead of letting
+    # every child run out its stalled-compile timeouts
+    probe = _run_child("probe", timeouts=(60, 60))
+    if "error" in probe:
+        print(json.dumps({
+            "metric": "vga_frames_fused_per_sec", "value": 0.0,
+            "unit": "frames/s/chip", "vs_baseline": 0.0,
+            "device_unreachable": probe["error"]}))
+        return
     legacy = _run_child("fusion-legacy")
     auto = _run_child("fusion-auto")
     candidates = [r for r in (auto, legacy) if "fps" in r]
@@ -307,6 +331,8 @@ if __name__ == "__main__":
             fusion_child("legacy")
         elif mode == "secondary":
             secondary_child()
+        elif mode == "probe":
+            probe_child()
         else:
             raise SystemExit(f"unknown child mode {mode!r}")
     else:
