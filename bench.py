@@ -88,7 +88,7 @@ def fusion_child(mode: str) -> None:
 
     from otslam_tpu.kernels.tsdf_block import make_block_volume
     from otslam_tpu.kernels.tsdf_pallas import (auto_color_rows,
-                                                auto_depth_win,
+                                                auto_depth_config,
                                                 auto_max_active,
                                                 auto_patch_rows,
                                                 integrate_frames_pallas,
@@ -101,13 +101,15 @@ def fusion_child(mode: str) -> None:
     max_active = auto_max_active(vol0, depths, exts, intr)
     patch_rows = auto_patch_rows(vol0, depths, exts, intr, max_active,
                                  interpret=not on_tpu)
+    depth_planes = 4
     if mode == "auto":
-        depth_win = auto_depth_win(vol0, depths, exts, intr, max_active,
-                                   interpret=not on_tpu)
+        depth_win, depth_planes = auto_depth_config(
+            vol0, depths, exts, intr, max_active, interpret=not on_tpu)
         color_rows = auto_color_rows(vol0, depths, exts, intr, max_active,
                                      interpret=not on_tpu,
                                      depth_win=depth_win,
-                                     patch_rows=patch_rows)
+                                     patch_rows=patch_rows,
+                                     depth_planes=depth_planes)
     else:
         depth_win = None
         color_rows = None
@@ -118,7 +120,8 @@ def fusion_child(mode: str) -> None:
         vol0.created, depths, exts, intr,
         (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc),
         max_active, interpret=not on_tpu, patch_rows=patch_rows,
-        depth_win=depth_win, color_rows=color_rows))
+        depth_win=depth_win, color_rows=color_rows,
+        depth_planes=depth_planes))
     near_field = "skip" if counts.max() == 0 else "fallback"
 
     def run():
@@ -126,7 +129,8 @@ def fusion_child(mode: str) -> None:
             make_block_volume(cfg), depths, colors, exts, intr,
             max_active=max_active, interpret=not on_tpu,
             near_field=near_field, patch_rows=patch_rows,
-            depth_win=depth_win, color_rows=color_rows)
+            depth_win=depth_win, color_rows=color_rows,
+            depth_planes=depth_planes)
         return vol.tsdf
 
     r = run()                            # warmup/compile
@@ -140,7 +144,7 @@ def fusion_child(mode: str) -> None:
     print(json.dumps({
         "fps": round(n / best, 1), "patch_rows": patch_rows,
         "depth_win": depth_win or 256, "color_rows": color_rows or 64,
-        "max_active": int(max_active)}))
+        "depth_planes": depth_planes, "max_active": int(max_active)}))
 
 
 def secondary_child() -> None:

@@ -115,7 +115,8 @@ def fuse_frames_sparse_data_parallel(
         max_near: int = 512, interpret: bool = False,
         patch_rows: int | None = None,
         depth_win: int | None = None,
-        color_rows: int | None = None) -> BlockTSDFVolume:
+        color_rows: int | None = None,
+        depth_planes: int = 4) -> BlockTSDFVolume:
     """Frame-sharded block-sparse fusion (Pallas kernel per device, one
     psum of the per-block partial sums over the data axis).
 
@@ -140,7 +141,7 @@ def fuse_frames_sparse_data_parallel(
     if near_field not in ("fallback", "skip"):
         raise ValueError(
             f"near_field must be 'fallback' or 'skip': {near_field!r}")
-    depth_win = _validate_depth_win(depth_win, color_res)
+    depth_win = _validate_depth_win(depth_win, color_res, depth_planes)
     nd = mesh.shape[data_axis]
     n = depths.shape[0]
     if n % nd:
@@ -171,7 +172,7 @@ def fuse_frames_sparse_data_parallel(
             _integrate_core_impl(
                 tsdf0, weight0, color0, created_start, d, c, e, intr,
                 vol_meta, max_active, full_color, interpret, patch_rows,
-                depth_win, color_rows)
+                depth_win, color_rows, depth_planes)
         if near_field == "fallback":
             skipped = _expand_skipped(skipped_c, ids_all, nb, n_local)
             cpacked = jax.vmap(pack_rgb)(c)
@@ -209,7 +210,7 @@ def fuse_objects_sparse_parallel(
         color_res: str = "half", near_field: str = "fallback",
         max_near: int = 512, interpret: bool = False,
         patch_rows: int | None = None, depth_win: int | None = None,
-        color_rows: int | None = None):
+        color_rows: int | None = None, depth_planes: int = 4):
     """OBJECT-axis parallel block-sparse fusion: each device fuses the frame
     stacks of its object shard into per-object block volumes with the
     single-chip Pallas kernel — embarrassingly parallel, zero integrate-time
@@ -237,7 +238,7 @@ def fuse_objects_sparse_parallel(
 
     if color_res not in ("half", "full"):
         raise ValueError(f"color_res must be 'half' or 'full': {color_res!r}")
-    depth_win = _validate_depth_win(depth_win, color_res)
+    depth_win = _validate_depth_win(depth_win, color_res, depth_planes)
     nd = mesh.shape[axis]
     n_obj = depths.shape[0]
     if n_obj % nd:
@@ -272,7 +273,8 @@ def fuse_objects_sparse_parallel(
         cr0 = jnp.zeros_like(proto.created)
         tsdf_o, w_o, c_o, cr_o, _, skipped_c, ids_all = _integrate_core_impl(
             tsdf0, w0, c0, cr0, d, c, e_shift, intr, vol_meta, max_active,
-            full_color, interpret, patch_rows, depth_win, color_rows)
+            full_color, interpret, patch_rows, depth_win, color_rows,
+            depth_planes)
         if near_field == "fallback":
             skipped = _expand_skipped(skipped_c, ids_all, nb, d.shape[0])
             cpacked = jax.vmap(pack_rgb)(c)

@@ -527,7 +527,8 @@ def auto_max_active(vol: BlockTSDFVolume, depths, extrinsics,
 def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
                     intr: PinholeIntrinsics, max_active: int,
                     interpret: bool = False,
-                    depth_win: int | None = None) -> int:
+                    depth_win: int | None = None,
+                    depth_planes: int = 4) -> int:
     """Smallest 8-multiple depth-slab height (the selection dots' M
     dimension) whose slab-coverage skip set matches the PATCH_ROWS
     default's — shrinking the dot costs zero extra fallbacks on this
@@ -544,7 +545,8 @@ def auto_patch_rows(vol: BlockTSDFVolume, depths, extrinsics,
     def skipped(pr: int) -> int:
         return int(np.sum(np.asarray(near_fallback_counts(
             vol.created, depths, extrinsics, intr, vm, max_active,
-            interpret=interpret, patch_rows=pr, depth_win=depth_win))))
+            interpret=interpret, patch_rows=pr, depth_win=depth_win,
+            depth_planes=depth_planes))))
 
     return _shrink_rows_to_base(skipped, min(PATCH_ROWS, H) // 8)
 
@@ -564,27 +566,45 @@ def _shrink_rows_to_base(skipped, hi_u: int, lo_u: int = 2) -> int:
     return hi_u * 8
 
 
-def auto_depth_win(vol: BlockTSDFVolume, depths, extrinsics,
-                   intr: PinholeIntrinsics, max_active: int,
-                   patch_rows: int | None = None,
-                   interpret: bool = False) -> int:
-    """128 when the one-K-tile depth window (32-grained starts via 4
-    lane-shifted depth copies) covers exactly the pairs the 256-lane
-    default does on this workload — halving the depth selection dots' K
-    costs zero extra fallbacks there — else DEPTH_WIN. Far-field capture
-    circles project ~30-50 px block u-spans at VGA, well inside the
-    128-window's ~96 px guarantee. Exactness never depends on the choice
+def auto_depth_config(vol: BlockTSDFVolume, depths, extrinsics,
+                      intr: PinholeIntrinsics, max_active: int,
+                      patch_rows: int | None = None,
+                      interpret: bool = False) -> Tuple[int | None, int]:
+    """(depth_win, depth_planes) for integrate_frames_pallas: the one-K-tile
+    window when it covers exactly the pairs the 256-lane default does on
+    this workload — halving the depth selection dots' K costs zero extra
+    fallbacks there — preferring planes=2 (64-grain starts, one extra
+    shifted copy, coverage ~63 px) over planes=4 (32-grain, ~96 px, 2x
+    the extra image VMEM/prep). Far-field capture circles project
+    ~30-50 px block u-spans at VGA. Exactness never depends on the choice
     (uncovered pairs fall back); this only picks the faster config."""
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
     vm = (vol.grid_blocks, vol.origin, vol.voxel_size, vol.sdf_trunc)
 
-    def skipped(dw: int | None) -> int:
+    def skipped(dw: int | None, planes: int = 4) -> int:
         return int(np.sum(np.asarray(near_fallback_counts(
             vol.created, depths, extrinsics, intr, vm, max_active,
-            interpret=interpret, patch_rows=patch_rows, depth_win=dw))))
+            interpret=interpret, patch_rows=patch_rows, depth_win=dw,
+            depth_planes=planes))))
 
-    return 128 if skipped(128) == skipped(None) else DEPTH_WIN
+    base = skipped(None)
+    for planes in (2, 4):
+        if skipped(128, planes) == base:
+            return 128, planes
+    return None, 4
+
+
+def auto_depth_win(vol: BlockTSDFVolume, depths, extrinsics,
+                   intr: PinholeIntrinsics, max_active: int,
+                   patch_rows: int | None = None,
+                   interpret: bool = False) -> int:
+    """The depth_win half of auto_depth_config (kept for callers that only
+    size the window; returns DEPTH_WIN when the narrow window would cost
+    extra fallbacks)."""
+    dw, _ = auto_depth_config(vol, depths, extrinsics, intr, max_active,
+                              patch_rows=patch_rows, interpret=interpret)
+    return dw or DEPTH_WIN
 
 
 def _effective_patch_rows(patch_rows: int | None, H: int) -> int:
@@ -612,7 +632,8 @@ def auto_color_rows(vol: BlockTSDFVolume, depths, extrinsics,
                     intr: PinholeIntrinsics, max_active: int,
                     patch_rows: int | None = None,
                     depth_win: int | None = None,
-                    interpret: bool = False) -> int:
+                    interpret: bool = False,
+                    depth_planes: int = 4) -> int:
     """Smallest 8-multiple half-res color window height whose coverage
     skip set matches the 64-row default's — the color slab dot's M is
     3*color_rows, so far-field workloads (projected half-res v-spans
@@ -627,7 +648,8 @@ def auto_color_rows(vol: BlockTSDFVolume, depths, extrinsics,
         return int(np.sum(np.asarray(near_fallback_counts(
             vol.created, depths, extrinsics, intr, vm, max_active,
             interpret=interpret, patch_rows=patch_rows,
-            depth_win=depth_win, color_rows=cr))))
+            depth_win=depth_win, color_rows=cr,
+            depth_planes=depth_planes))))
 
     return _shrink_rows_to_base(skipped, _effective_color_rows(None, H) // 8)
 
@@ -832,14 +854,16 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
 @functools.partial(jax.jit, static_argnames=("intr", "vol_meta",
                                               "max_active", "interpret",
                                               "patch_rows", "color_res",
-                                              "depth_win", "color_rows"))
+                                              "depth_win", "color_rows",
+                                              "depth_planes"))
 def near_fallback_counts(created, depths, extrinsics,
                          intr: PinholeIntrinsics, vol_meta,
                          max_active: int, interpret: bool = False,
                          patch_rows: int | None = None,
                          color_res: str = "half",
                          depth_win: int | None = None,
-                         color_rows: int | None = None):
+                         color_rows: int | None = None,
+                         depth_planes: int = 4):
     """Per-frame count of (frame, block) pairs the Pallas kernel's depth
     slab cannot cover (the pairs near_field='fallback' integrates via the
     exact XLA pass). All-zero counts mean near_field='skip' is exact for
@@ -850,26 +874,29 @@ def near_fallback_counts(created, depths, extrinsics,
     depths = jnp.asarray(depths)
     extrinsics = jnp.asarray(extrinsics)
     H, W = depths.shape[1:]
-    (depths,) = _pad_width_128(W, _win_planes(depth_win, W, H)[0], depths)
+    (depths,) = _pad_width_128(
+        W, _win_planes(depth_win, W, H, depth_planes)[0], depths)
     W = depths.shape[2]
     n_frames = depths.shape[0]
     extrinsics, depths = _pad_to_fpc(extrinsics, depths)
     pr = _effective_patch_rows(patch_rows, H)
-    win, planes = _win_planes(depth_win, W, H)
+    win, planes = _win_planes(depth_win, W, H, depth_planes)
     sched = _block_schedule(created, depths, extrinsics, intr, vol_meta,
                             max_active, pr, win, n_frames, interpret,
                             color_res == "full", planes, color_rows)
     return sched[9]
 
 
-def _validate_depth_win(depth_win: int | None,
-                        color_res: str) -> int | None:
+def _validate_depth_win(depth_win: int | None, color_res: str,
+                        depth_planes: int = 4) -> int | None:
     """Shared entry-point validation: allowed values, DEPTH_WIN->None
     normalization, and the full-res-color gate (full-res color reuses the
     depth window at puf, which shifted-plane starts misalign)."""
     if depth_win not in (None, 128, DEPTH_WIN):
         raise ValueError(f"depth_win must be None, 128, or {DEPTH_WIN}: "
                          f"{depth_win!r}")
+    if depth_planes not in (2, 4):
+        raise ValueError(f"depth_planes must be 2 or 4: {depth_planes!r}")
     if depth_win == DEPTH_WIN:
         depth_win = None
     if depth_win is not None and color_res == "full":
@@ -879,17 +906,20 @@ def _validate_depth_win(depth_win: int | None,
     return depth_win
 
 
-def _win_planes(depth_win: int | None, W: int, H: int) -> Tuple[int, int]:
+def _win_planes(depth_win: int | None, W: int, H: int,
+                depth_planes: int = 4) -> Tuple[int, int]:
     """Resolve the depth-window mode: (win, planes). depth_win=None is the
     classic 2-K-tile window at 128-aligned starts; depth_win=128 is the
-    one-K-tile window at 32-grained starts read from 4 lane-shifted depth
-    copies (planes=4). Degenerate widths collapse to a single plane, as
-    does a non-8-multiple image height (the plane select is the dynamic
-    sublane start plane*H + pvf, whose 8-alignment promise needs 8 | H)."""
+    one-K-tile window at (128//depth_planes)-grained starts read from
+    depth_planes lane-shifted depth copies (4 -> 32-grain, coverage
+    ~96 px; 2 -> 64-grain, coverage ~63 px at HALF the extra image
+    VMEM/prep). Degenerate widths collapse to a single plane, as does a
+    non-8-multiple image height (the plane select is the dynamic sublane
+    start plane*H + pvf, whose 8-alignment promise needs 8 | H)."""
     win = min(DEPTH_WIN if depth_win is None else depth_win, W)
     if depth_win is not None and win == 128 and W > 128:
         if H % 8 == 0:
-            return 128, 4
+            return 128, depth_planes
         # shifted planes unavailable: fall back to the classic window
         # (win=128 at 128-grain starts would skip nearly every pair)
         return min(DEPTH_WIN, W), 1
@@ -902,7 +932,8 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
                          interpret: bool = False,
                          patch_rows: int | None = None,
                          depth_win: int | None = None,
-                         color_rows: int | None = None):
+                         color_rows: int | None = None,
+                         depth_planes: int = 4):
     """The batched Pallas fusion pass. Returns updated (tsdf, weight, color,
     created). (frame, block) pairs failing the slab-coverage test are left
     untouched (handled by the caller's fallback pass)."""
@@ -917,7 +948,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # color window. Padded columns have depth 0 == invalid, so they never
     # integrate; validity tests use the true intr.width.
     depths, colors = _pad_width_128(
-        W, _win_planes(depth_win, W, H)[0], depths, colors)
+        W, _win_planes(depth_win, W, H, depth_planes)[0], depths, colors)
     W = depths.shape[2]
     # patch_rows sets the depth-slab dot's M dimension — the dominant MAC
     # cost. The PATCH_ROWS=128 default covers every block beyond ~0.66 m;
@@ -935,7 +966,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # lane-shifted depth copies (full-res color reuses the depth window at
     # puf, which planes>1 misaligns — _validate_depth_win gates that
     # combination at every public entry point)
-    win, planes = _win_planes(depth_win, W, H)
+    win, planes = _win_planes(depth_win, W, H, depth_planes)
     assert not (full_color and planes > 1)
 
     # pre-split bf16 depth (hi + lo rows reassemble exactly in the matmul)
@@ -1028,7 +1059,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
 _integrate_core = functools.partial(
     jax.jit, static_argnames=("intr", "vol_meta", "max_active", "full_color",
                               "interpret", "patch_rows", "depth_win",
-                              "color_rows"),
+                              "color_rows", "depth_planes"),
     donate_argnums=(0, 1, 2))(_integrate_core_impl)
 
 
@@ -1093,7 +1124,8 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
                             near_field: str = "fallback",
                             patch_rows: int | None = None,
                             depth_win: int | None = None,
-                            color_rows: int | None = None
+                            color_rows: int | None = None,
+                            depth_planes: int = 4
                             ) -> BlockTSDFVolume:
     """Fuse a batch of frames through the Pallas block kernel.
 
@@ -1122,9 +1154,10 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     so guaranteed coverage is spans <= ~128 px); 128 halves the dots' K
     and reads the windows at 32-grained starts from 4 lane-shifted depth
     copies (coverage spans <= ~96 px — far-field workloads; requires
-    color_res="half"). auto_depth_win picks the cheapest setting with no
-    extra fallbacks. Uncovered pairs fall back exactly, whatever the
-    value.
+    color_res="half"). depth_planes=2 uses 64-grain starts from a single
+    extra shifted copy (coverage ~63 px, half the extra image VMEM/prep).
+    auto_depth_config picks the cheapest setting with no extra fallbacks.
+    Uncovered pairs fall back exactly, whatever the value.
 
     color_rows: half-res color window rows = the color slab dot's M/3.
     None = the min(64, H//2) default; auto_color_rows sizes it to the
@@ -1137,7 +1170,7 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     if near_field not in ("fallback", "skip"):
         raise ValueError(
             f"near_field must be 'fallback' or 'skip': {near_field!r}")
-    depth_win = _validate_depth_win(depth_win, color_res)
+    depth_win = _validate_depth_win(depth_win, color_res, depth_planes)
     depths = jnp.asarray(depths)
     colors = jnp.asarray(colors)
     extrinsics = jnp.asarray(extrinsics)
@@ -1147,7 +1180,7 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
      ids_all) = _integrate_core(
         vol.tsdf, vol.weight, vol.color, vol.created, depths, colors,
         extrinsics, intr, vol_meta, max_active, color_res == "full",
-        interpret, patch_rows, depth_win, color_rows)
+        interpret, patch_rows, depth_win, color_rows, depth_planes)
 
     if near_field == "fallback":
         counts = np.asarray(skipped_counts)           # host sync (small)

@@ -105,23 +105,25 @@ def fuse_frames(depths, colors, extrinsics, intr: PinholeIntrinsics,
                                       intr, max_active=max_active)
     elif backend == "pallas":
         from otslam_tpu.kernels.tsdf_pallas import (auto_color_rows,
-                                                    auto_depth_win,
+                                                    auto_depth_config,
                                                     auto_patch_rows)
         interp = jax.default_backend() == "cpu"
         # slab geometry sized to the batch (zero extra fallbacks by
         # construction): auto_patch_rows shrinks the selection dots' M to
-        # the projected v-spans, auto_depth_win their K to one lane tile
-        # when the u-spans allow, auto_color_rows the color dot's M to the
-        # half-res v-spans — each ~2x fewer MACs far-field
-        dw = auto_depth_win(start, depths, extrinsics, intr, max_active,
-                            interpret=interp)
+        # the projected v-spans, auto_depth_config their K to one lane
+        # tile when the u-spans allow, auto_color_rows the color dot's M
+        # to the half-res v-spans — each ~2x fewer MACs far-field
+        dw, dp = auto_depth_config(start, depths, extrinsics, intr,
+                                   max_active, interpret=interp)
         pr = auto_patch_rows(start, depths, extrinsics, intr, max_active,
-                             interpret=interp, depth_win=dw)
+                             interpret=interp, depth_win=dw, depth_planes=dp)
         cr = auto_color_rows(start, depths, extrinsics, intr, max_active,
-                             interpret=interp, depth_win=dw, patch_rows=pr)
+                             interpret=interp, depth_win=dw, patch_rows=pr,
+                             depth_planes=dp)
         vol = integrate_frames_pallas(
             start, depths, colors, extrinsics, intr, max_active=max_active,
-            interpret=interp, patch_rows=pr, depth_win=dw, color_rows=cr)
+            interpret=interp, patch_rows=pr, depth_win=dw, color_rows=cr,
+            depth_planes=dp)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     return block_to_dense(vol) if densify else vol

@@ -432,6 +432,56 @@ class TestDepthWin:
                 max_active=64, interpret=True, depth_win=128,
                 color_res="full")
 
+    def test_two_plane_schedule(self):
+        """depth_planes=2 (64-grain starts, one extra shifted copy): the
+        wide 7-view mid scene's ~50-65 px corner spans overflow its
+        ~63 px guarantee for some pairs, so auto_depth_config must reject
+        it in favor of planes=4; its scheduled starts are 64-grained."""
+        from otslam_tpu.kernels.tsdf_pallas import (
+            _block_schedule, _pad_to_fpc, _win_planes, auto_depth_config,
+            near_fallback_counts)
+        depths, colors, exts = self._mid_scene()
+        vol0 = make_block_volume(self.CFG_MID)
+        vm = (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc)
+        assert auto_depth_config(vol0, depths, exts, self.INTR_MID, 2048,
+                                 interpret=True) == (128, 4)
+        # p2 costs extra skips here (that's why auto rejects it)
+        assert int(np.sum(np.asarray(near_fallback_counts(
+            vol0.created, depths, exts, self.INTR_MID, vm, 2048,
+            interpret=True, depth_win=128, depth_planes=2)))) > 0
+        win, planes = _win_planes(128, depths.shape[2], depths.shape[1], 2)
+        assert (win, planes) == (128, 2)
+        e2, d2 = _pad_to_fpc(exts, depths)
+        sched = _block_schedule(vol0.created, d2, e2, self.INTR_MID, vm,
+                                2048, 40, win, depths.shape[0], True, False,
+                                planes)
+        act, puf = np.asarray(sched[1]), np.asarray(sched[4])
+        assert set(np.unique(puf[act > 0] % 64).tolist()) == {0}
+
+    @pytest.mark.slow
+    def test_two_plane_covered_scene_bitwise(self):
+        """On a narrow 2-view scene the 64-grain window covers every pair:
+        auto_depth_config prefers the cheaper planes=2, and the result is
+        BIT-identical to the default window (one-hot selection)."""
+        from otslam_tpu.kernels.tsdf_pallas import auto_depth_config
+        depths, colors, exts = self._mid_scene(n=2)
+        vol0 = make_block_volume(self.CFG_MID)
+        assert auto_depth_config(vol0, depths, exts, self.INTR_MID, 2048,
+                                 interpret=True) == (128, 2)
+        p2 = integrate_frames_pallas(
+            make_block_volume(self.CFG_MID), depths, colors, exts,
+            self.INTR_MID, max_active=2048, interpret=True, depth_win=128,
+            depth_planes=2)
+        p_def = integrate_frames_pallas(
+            make_block_volume(self.CFG_MID), depths, colors, exts,
+            self.INTR_MID, max_active=2048, interpret=True)
+        np.testing.assert_array_equal(np.asarray(p2.weight),
+                                      np.asarray(p_def.weight))
+        np.testing.assert_array_equal(np.asarray(p2.tsdf),
+                                      np.asarray(p_def.tsdf))
+        np.testing.assert_array_equal(np.asarray(p2.color),
+                                      np.asarray(p_def.color))
+
     def test_non_8_multiple_height_falls_back_to_classic_window(self):
         """The shifted-plane select is a dynamic sublane start plane*H +
         pvf whose 8-alignment promise needs 8 | H — for other heights
