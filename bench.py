@@ -59,13 +59,21 @@ def _make_frames(intr, n):
     return (np.stack(depths), np.stack(colors), np.stack(exts))
 
 
-def _child_setup():
-    """Per-child device/platform init + the shared fusion workload."""
+def _init_platform():
+    """Force the requested platform BEFORE any device query (the bare
+    JAX_PLATFORMS env var is unreliable on this image). Returns jax."""
     plat = os.environ.get("OTSLAM_BENCH_PLATFORM")
     import jax
 
     if plat:
         jax.config.update("jax_platforms", plat)
+    return jax
+
+
+def _child_setup(n_frames: int | None = None):
+    """Per-child device/platform init + the fusion workload (n_frames
+    None = the full benchmark batch: 384 on TPU, 4 in interpret mode)."""
+    jax = _init_platform()
     import jax.numpy as jnp
 
     from otslam_tpu.config import TSDFConfig
@@ -75,7 +83,7 @@ def _child_setup():
     intr = PinholeIntrinsics(width=640, height=480, fx=565.6009, fy=565.6009,
                              cx=320.5, cy=240.5)
     cfg = TSDFConfig()  # 256^3 @ 1 cm, trunc 4 cm (reference parameters)
-    n = 384 if on_tpu else 4
+    n = n_frames or (384 if on_tpu else 4)
     d, c, e = _make_frames(intr, n)
     return (on_tpu, intr, cfg, n, jnp.asarray(d), jnp.asarray(c),
             jnp.asarray(e))
@@ -148,8 +156,10 @@ def fusion_child(mode: str) -> None:
 
 
 def secondary_child() -> None:
-    """ICP, perception-tick, and mesh-extraction metrics in one child."""
-    on_tpu, intr, cfg, n, depths, colors, exts = _child_setup()
+    """ICP, perception-tick, and mesh-extraction metrics in one child.
+    Only the 16 mesh-seed frames are generated (the full fusion batch is
+    ~2 GB of host->device transfer this child never uses)."""
+    on_tpu, intr, cfg, n, depths, colors, exts = _child_setup(n_frames=16)
     out = {}
     try:
         import bench_icp
@@ -166,7 +176,7 @@ def secondary_child() -> None:
         out["perception_error"] = repr(e)[:120]
     try:
         out["mesh_extracts_per_sec"] = measure_mesh_extract(
-            depths[:16], colors[:16], exts[:16], intr, cfg)
+            depths, colors, exts, intr, cfg)
         out["mesh_unit"] = "extractions/s (256^3 marching tetrahedra)"
     except Exception as exc:
         out["mesh_error"] = repr(exc)[:120]
@@ -197,11 +207,7 @@ def _run_child(mode: str, timeouts=(900, 1500)):
 
 def probe_child() -> None:
     """Fast device-reachability probe: one tiny computation end to end."""
-    plat = os.environ.get("OTSLAM_BENCH_PLATFORM")
-    import jax
-
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    jax = _init_platform()
     import jax.numpy as jnp
 
     d = jax.devices()[0]
@@ -223,17 +229,18 @@ def main():
     legacy = _run_child("fusion-legacy")
     auto = _run_child("fusion-auto")
     candidates = [r for r in (auto, legacy) if "fps" in r]
-    out = {"metric": "vga_frames_fused_per_sec", "unit": "frames/s/chip"}
+    out = {"metric": "vga_frames_fused_per_sec", "unit": "frames/s/chip",
+           "platform": probe.get("platform")}
     if candidates:
         best = max(candidates, key=lambda r: r["fps"])
         out["value"] = best["fps"]
         out["vs_baseline"] = round(best["fps"] / 500.0, 3)
         out["fusion_config"] = {
             k: best[k] for k in ("patch_rows", "depth_win", "color_rows",
-                                 "max_active")}
+                                 "depth_planes", "max_active")}
         out["fusion_config"]["alternates"] = {
-            f"dw{r.get('depth_win')}_cr{r.get('color_rows')}": r["fps"]
-            for r in candidates}
+            f"dw{r.get('depth_win')}p{r.get('depth_planes')}"
+            f"_cr{r.get('color_rows')}": r["fps"] for r in candidates}
     else:
         out["value"] = 0.0
         out["vs_baseline"] = 0.0

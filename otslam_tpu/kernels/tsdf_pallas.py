@@ -612,6 +612,9 @@ def _effective_patch_rows(patch_rows: int | None, H: int) -> int:
     where the image allows, and NEVER above H (rounding up past a
     non-8-multiple H would slice the depth slab out of bounds — the
     clipped pvf start goes to 0 but the slab still overruns the image)."""
+    if H < 8:
+        raise ValueError(f"depth images must be >= 8 rows tall (got {H}) — "
+                         "the depth slab is sliced in 8-row sublane tiles")
     pr = 8 * (min(patch_rows or PATCH_ROWS, H) // 8)
     return max(pr, min(16, 8 * (H // 8)))
 
