@@ -198,6 +198,21 @@ def _cmd_mission(args):
               "table_chair": table_chair_room}
     world = scenes[args.scenario]()
     cfg = OTSLAMConfig(tracker=TrackerConfig.update_pipeline_profile())
+    if args.goal_list:
+        # scripted mission (goal_list.hpp equivalent): no perception loop,
+        # the static targets run through the same queue -> FSM -> scanner
+        from otslam_tpu.mission.goal_list import load_goal_list
+        goals = load_goal_list(args.goal_list)
+        runner = MissionRunner(
+            scene_map=Scene(objects=()), scene_world=world,
+            workdir=args.workdir, cfg=cfg,
+            start_pose=tuple(float(v) for v in args.start.split(",")))
+        s = runner.run_static(goals)
+        print(json.dumps({
+            "missions": s.missions_completed, "frames": s.frames_captured,
+            "labels": s.labels, "sim_time_s": round(s.sim_time, 1),
+            "dataset": os.path.join(args.workdir, "dataset")}))
+        return
     runs = []
     for rep in range(max(1, args.repeat)):
         # fresh runner per repeat (identical mission); repeats share the
@@ -377,6 +392,11 @@ def main(argv=None):
                         "the jit cache and measures steady-state ticks/s "
                         "(the one-time remote compile dominates a single "
                         "short mission through the TPU tunnel)")
+    p.add_argument("--goal-list", default=None, metavar="FILE",
+                   help="run a scripted mission from a static goal list "
+                        "('id, label, x, y, theta_deg' per line; the "
+                        "goal_list.hpp equivalent) instead of the "
+                        "detection-driven loop")
 
     p = sub.add_parser("capture", help="manual RGB-D capture from a scenario")
     p.add_argument("--scenario", default="cardboard",

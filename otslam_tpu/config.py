@@ -124,6 +124,18 @@ class TrackerConfig:
     scan_point_interval_removed: float = 5.0
     min_scan_points: int = 4
     unseen_prune_time: float = 0.5   # candidates pruned if unseen this long
+    # Visiting-point placement strategy. "uniform-distance" is the current
+    # design (3_multi_object_goal_selector.cpp:275-308); the two legacy modes
+    # reproduce the superseded selector iterations kept in the reference tree:
+    #   "adaptive-count": fixed 6/8 points by bbox diagonal, ids obj*10+i
+    #                     (object_goal_selector.cpp:236-268)
+    #   "degree-step":    ceil(360/degree) points at fixed angular step,
+    #                     ids obj*100+i (multi_object_goal_selector.cpp:243-270)
+    visiting_mode: str = "uniform-distance"
+    scan_step_threshold: float = 1.0     # diagonal (m) switching 6 -> 8 points
+    points_count_normal: int = 6         # adaptive-count: small objects
+    points_count_big: int = 8            # adaptive-count: big objects
+    degree_visiting_points: float = 10.0  # degree-step: angular interval (deg)
 
     @classmethod
     def update_pipeline_profile(cls) -> "TrackerConfig":

@@ -36,9 +36,16 @@ class TargetPoint:
     is_removed: bool
 
 
-def decode_marker_id(marker_id: int, is_removed: bool) -> int:
-    """Object id from a marker id (3_multi_send_goal_node.cpp:112-115)."""
-    return marker_id - REMOVED_ID_BASE if is_removed else marker_id // 100
+def decode_marker_id(marker_id: int, is_removed: bool,
+                     id_stride: int = 100) -> int:
+    """Object id from a marker id (3_multi_send_goal_node.cpp:112-115).
+
+    ``id_stride`` matches the selector's encoding: 100 for the current
+    uniform-distance/degree-step selectors, 10 for the legacy adaptive-count
+    variant (object_goal_selector.cpp:246-248).
+    """
+    return (marker_id - REMOVED_ID_BASE if is_removed
+            else marker_id // id_stride)
 
 
 class GoalSender:

@@ -45,6 +45,10 @@ class SystemManager:
         self.last_target_x = 0.0
         self.last_target_y = 0.0
         self.first_goal_received = False
+        # scripted missions (mission/goal_list.py) carry their own labels
+        # (goal_list.hpp:8 GoalData.label); detection-driven missions use the
+        # manager's Object_<id> convention (manager_node.cpp:225)
+        self.label_lookup: dict[int, str] = {}
         # initial state: tracking enabled to find the first object
         self._set_tracking(True)
 
@@ -85,7 +89,8 @@ class SystemManager:
         # arrival: freeze for camera time, then scan
         self._set_tracking(False)
         self.state = ManagerState.SCANNING
-        label = f"Object_{self.current_obj_id}"
+        label = self.label_lookup.get(self.current_obj_id,
+                                      f"Object_{self.current_obj_id}")
         self._scan(label, self.last_target_x, self.last_target_y,
                    self.cfg.scan_radius)
         # stay frozen until a new object id arrives (manager_node.cpp:246-248)

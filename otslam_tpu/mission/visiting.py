@@ -32,21 +32,50 @@ class VisitingPoint:
     is_removed: bool = False
 
 
+def _point_plan(c: TrackedCluster, cfg: TrackerConfig,
+                removed: bool) -> tuple:
+    """(count, angular step, id stride) for the configured placement mode.
+
+    "uniform-distance" is the shipping design; the other two reproduce the
+    superseded selector iterations kept in the reference tree (see
+    TrackerConfig.visiting_mode). All modes share the same circle radius and
+    face-the-center yaw; they differ only in how many poses and at what
+    angular spacing.
+    """
+    mode = cfg.visiting_mode
+    if mode == "adaptive-count":
+        # object_goal_selector.cpp:247-255 — 6 or 8 points by bbox diagonal;
+        # marker ids are obj*10+i ("max points might be 8, multiplier 10").
+        diagonal = float(np.hypot(c.width, c.height))
+        n = (cfg.points_count_big if diagonal > cfg.scan_step_threshold
+             else cfg.points_count_normal)
+        return n, 2.0 * np.pi / n, 10
+    if mode == "degree-step":
+        # multi_object_goal_selector.cpp:245-261 — fixed angular interval;
+        # the last point may land closer than the step (ceil semantics).
+        n = int(np.ceil(360.0 / cfg.degree_visiting_points))
+        return n, np.deg2rad(cfg.degree_visiting_points), 100
+    if mode != "uniform-distance":
+        raise ValueError(f"unknown visiting_mode {mode!r}")
+    interval = (cfg.scan_point_interval_removed if removed
+                else cfg.scan_point_interval)
+    vp_radius = c.lock_radius + cfg.visiting_point_buffer
+    circumference = 2.0 * np.pi * vp_radius
+    n = max(cfg.min_scan_points, int(round(circumference / interval)))
+    return n, 2.0 * np.pi / n, 100
+
+
 def visiting_points(stable_objects: Sequence[TrackedCluster],
                     cfg: TrackerConfig | None = None,
                     removed: bool = False) -> List[VisitingPoint]:
     cfg = cfg or TrackerConfig()
-    interval = (cfg.scan_point_interval_removed if removed
-                else cfg.scan_point_interval)
     out: List[VisitingPoint] = []
     for obj_idx, c in enumerate(stable_objects):
         vp_radius = c.lock_radius + cfg.visiting_point_buffer
-        circumference = 2.0 * np.pi * vp_radius
-        n = max(cfg.min_scan_points, int(round(circumference / interval)))
-        step = 2.0 * np.pi / n
+        n, step, id_stride = _point_plan(c, cfg, removed)
         for i in range(n):
             ang = step * i
-            uid = obj_idx * 100 + i
+            uid = obj_idx * id_stride + i
             if removed:
                 uid += REMOVED_ID_BASE
             out.append(VisitingPoint(

@@ -282,6 +282,29 @@ class MissionRunner:
 
     # --- main loop ----------------------------------------------------------
 
+    def run_static(self, goals, max_steps: int = 100) -> MissionSummary:
+        """Scripted mission from a static goal list (goal_list.hpp:16-22).
+
+        No perception or tracking: the queue is seeded once with the
+        scripted targets and the identical GoalSender -> manager FSM ->
+        scanner path executes them nearest-first. Captures are saved under
+        each goal's own label.
+        """
+        from otslam_tpu.mission.goal_list import as_targets
+
+        self.manager.label_lookup = {g.id: g.label for g in goals}
+        self.sender.added_targets = as_targets(goals)
+        for _ in range(max_steps):
+            self.sender.on_odom(self.x, self.y)
+            goal = self.sender.control_step()
+            if goal is not None:
+                if self.manager.on_goal(goal):
+                    self.summary.missions_completed += 1
+            elif self.sender.pending_count() == 0:
+                break
+        self.summary.sim_time = self.t
+        return self.summary
+
     def run(self, max_ticks: int = 200, settle_ticks: int = 25,
             min_ticks: int = 75) -> MissionSummary:
         """Run perception + mission until targets are exhausted.
