@@ -219,7 +219,10 @@ def main():
     # the axon relay has been observed fully down (even jax.devices()
     # hangs) — fail in ~2 min with a diagnostic line instead of letting
     # every child run out its stalled-compile timeouts
-    probe = _run_child("probe", timeouts=(60, 60))
+    # first contact after a relay outage has been observed to take ~60s for
+    # jax.devices() alone; give the cold attempt headroom before declaring
+    # the device unreachable
+    probe = _run_child("probe", timeouts=(90, 150))
     if "error" in probe:
         print(json.dumps({
             "metric": "vga_frames_fused_per_sec", "value": 0.0,
