@@ -9,8 +9,8 @@ tick — fine on CPU, but through the single-TPU tunnel every dispatch costs
 This module fuses K whole perception ticks (ray-cast -> windowed scan diff
 -> dwell/decay evidence update -> confident-cell compaction) into ONE jitted
 lax.scan, so a mission pays the RTT once per K ticks. Per-tick confident
-cells come back compacted to a static capacity (argsort compaction —
-nonzero-free), so the host-side tracker consumes exact per-tick detections
+cells come back compacted to a static capacity (segmented top_k
+compaction), so the host-side tracker consumes exact per-tick detections
 from a single fetch.
 """
 
@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from otslam_tpu.config import ChangeDetectConfig
+from otslam_tpu.kernels.marching import _compact_ids_hier
 from otslam_tpu.kernels.raycast import raycast_grid
 from otslam_tpu.mapping.change_detect import _step as _change_step
 
@@ -39,15 +40,26 @@ class PerceptionBatch(NamedTuple):
 
 def _compact_confident(dwell, resolution: float, time_threshold: float,
                        max_points: int):
-    """Confident cell centers compacted to a static capacity: the
-    evidence_points grid (the single source of the diff_node.cpp:213-214
-    cell-center convention) compacted to (max_points, 2) + count so K ticks
-    of detections move host-ward in one small fetch."""
-    from otslam_tpu.kernels.evidence import evidence_points
-    pts, conf = evidence_points(dwell, resolution, time_threshold)
-    sel = jnp.argsort(~conf, stable=True)[:max_points]
+    """Confident cell centers compacted to a static capacity so K ticks of
+    detections move host-ward in one small fetch. Cell-center coordinates
+    follow evidence_points (the single source of the diff_node.cpp:213-214
+    convention: center = signed key * res + res/2, tested for parity).
+
+    Compaction is the segmented top_k of kernels/marching.py — a stable
+    argsort over the full (GH*GW,) grid dominated the whole fused tick on
+    TPU (sorts are O(n log^2 n) lane-serial passes); the hierarchical
+    top_k touches the full grid once and sorts only ~max_points segments."""
+    GH, GW = dwell.shape
+    conf = (dwell > time_threshold).reshape(-1)
+    n = GH * GW
+    ids = _compact_ids_hier(conf, max_points)       # ascending, padded n
     cnt = jnp.minimum(jnp.sum(conf, dtype=jnp.int32), max_points)
-    out = jnp.take(pts, sel, axis=0)
+    idc = jnp.minimum(ids, n - 1)
+    ky = idc // GW - GH // 2
+    kx = idc % GW - GW // 2
+    out = jnp.stack([kx.astype(jnp.float32) * resolution + resolution / 2.0,
+                     ky.astype(jnp.float32) * resolution + resolution / 2.0],
+                    axis=-1)
     mask = (jnp.arange(max_points) < cnt)[:, None]
     return jnp.where(mask, out, 0.0), cnt
 
