@@ -619,15 +619,21 @@ def _effective_patch_rows(patch_rows: int | None, H: int) -> int:
     return max(pr, min(16, 8 * (H // 8)))
 
 
-def _effective_color_rows(color_rows: int | None, H: int) -> int:
+def _effective_color_rows(color_rows: int | None, H: int,
+                          patch_rows: int = PATCH_ROWS) -> int:
     """Clamp the requested half-res color window height (the color slab
-    dot's M/3): None keeps the min(64, H//2) default exactly; an explicit
-    value rounds DOWN to an 8-sublane multiple in [16, min(64, H//2)]
-    (never above the default — the window must stay inside the half-res
-    channel plane)."""
-    cap = min(64, H // 2)
+    dot's M/3). None = the patch-coupled default 8*(patch_rows//16 + 1)
+    (top-anchored at the span's first half-res row, this covers every pair
+    whose full-res span fits the depth slab: span <= patch_rows rows ->
+    half span <= patch_rows//2 + alignment slack 7 < default). An explicit
+    value rounds DOWN to an 8-sublane multiple in [16, H//2] (the window
+    must stay inside the half-res channel plane); values below the default
+    can route extra pairs to the fallback — the exact coverage test
+    decides."""
+    cap = H // 2
+    dflt = min(8 * (patch_rows // 16 + 1), cap)
     if color_rows is None or cap < 16:
-        return cap
+        return dflt
     return min(max(16, 8 * (min(color_rows, cap) // 8)), cap)
 
 
@@ -654,7 +660,9 @@ def auto_color_rows(vol: BlockTSDFVolume, depths, extrinsics,
             depth_win=depth_win, color_rows=cr,
             depth_planes=depth_planes))))
 
-    return _shrink_rows_to_base(skipped, _effective_color_rows(None, H) // 8)
+    pr_eff = _effective_patch_rows(patch_rows, H)
+    return _shrink_rows_to_base(
+        skipped, _effective_color_rows(None, H, pr_eff) // 8)
 
 
 def _corner_bounds(vol_meta, ids, E, intr: PinholeIntrinsics):
@@ -795,7 +803,7 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
     act_all = jax.vmap(
         lambda af, i: jnp.take(af, i, axis=1))(act_pad, ids_all)
 
-    cr_half = _effective_color_rows(color_rows, H)
+    cr_half = _effective_color_rows(color_rows, H, patch_rows)
     grain = 128 // planes
 
     def starts(E, ids):
@@ -818,8 +826,15 @@ def _block_schedule(created_in, depths, extrinsics, intr: PinholeIntrinsics,
         # depth-window grain (128 classic; 128//planes with shifted planes)
         pvf = jnp.clip(jnp.round(vmid).astype(jnp.int32) - patch_rows // 2,
                        0, H - patch_rows) & ~7
-        pvh = jnp.clip(jnp.round(0.5 * vmid).astype(jnp.int32)
-                       - cr_half // 2, 0, H // 2 - cr_half) & ~7
+        # color window TOP-anchored at the span's first half-res row (not
+        # span-midpoint-anchored): with the patch-coupled default cr_half,
+        # [vh_lo & ~7, +cr_half) covers every span the depth slab covers —
+        # a midpoint anchor needs ~cr_half/2 slack on BOTH sides, and its
+        # 64-row default missed spans of 65 half-rows (a 128-row full-res
+        # span straddling row parity), flipping whole batches into the
+        # fallback mode for a handful of (frame, block) pairs
+        vh_lo = v_lo.astype(jnp.int32) // 2
+        pvh = jnp.clip(vh_lo & ~7, 0, H // 2 - cr_half)
         puf = jnp.clip((jnp.round(umid).astype(jnp.int32) - win // 2
                         + grain // 2) & ~(grain - 1), 0, W - win)
         # half-res color window start: a covered block's u-span is
@@ -963,7 +978,7 @@ def _integrate_core_impl(tsdf, weight, color, created_in, depths, colors,
     # half-mode color window rows = the color slab dot's M/3; auto-sized
     # like patch_rows (full-res color reuses the depth slab geometry)
     color_rows = (patch_rows if full_color
-                  else _effective_color_rows(color_rows, H))
+                  else _effective_color_rows(color_rows, H, patch_rows))
     # depth_win=128 halves the depth selection dots' K (the dominant MAC
     # cost after auto_patch_rows): fine-grained window starts come from 4
     # lane-shifted depth copies (full-res color reuses the depth window at
@@ -1163,8 +1178,10 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     Uncovered pairs fall back exactly, whatever the value.
 
     color_rows: half-res color window rows = the color slab dot's M/3.
-    None = the min(64, H//2) default; auto_color_rows sizes it to the
-    workload's projected half-res v-spans (ignored with
+    None = the patch-coupled default 8*(patch_rows//16 + 1), which covers
+    every pair the depth slab covers (the window is top-anchored at the
+    span's first half-res row); auto_color_rows sizes it further down to
+    the workload's projected half-res v-spans (ignored with
     color_res="full", which reuses the depth slab geometry). Uncovered
     pairs fall back exactly, whatever the value.
     """
