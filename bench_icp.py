@@ -21,7 +21,10 @@ def measure() -> dict:
 
     on_tpu = jax.devices()[0].platform != "cpu"
     n = 50_000 if on_tpu else 2_000
-    iters = 20
+    # enough iterations that the ~29 ms tunnel RTT is amortized out of the
+    # per-iteration rate (the micro-benchmark trap, CLAUDE.md): at 20 iters
+    # the fixed dispatch cost alone under-reported the device rate by ~25%
+    iters = 60 if on_tpu else 20
     rng = np.random.default_rng(0)
     src = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
     th = 0.02

@@ -277,7 +277,11 @@ def _make_kernel(intr: PinholeIntrinsics, sdf_trunc: float,
     return kernel
 
 
-FPC = 6  # frames per kernel call (share block row DMAs across frames)
+FPC = 8  # frames per kernel call (share block row DMAs across frames).
+# Chip sweep with the round-3 windowed selection (ms in f/s at n=384):
+# FPC 4: 1618, 6: 1818, 8: 1855, 12: 1587, 16: 1623 — the old FPC=6 pick
+# predates the window shrink (smaller per-frame VMEM slabs moved the DMA
+# sharing sweet spot up one notch; 12+ unions too many inactive pairs).
 
 
 @functools.partial(jax.jit, static_argnames=(

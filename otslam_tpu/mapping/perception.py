@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from otslam_tpu.config import ChangeDetectConfig
 from otslam_tpu.kernels.marching import _compact_ids_hier
-from otslam_tpu.kernels.raycast import raycast_grid
+from otslam_tpu.kernels.raycast import prepare_raycast_grid, raycast_grid_fast
 from otslam_tpu.mapping.change_detect import _step as _change_step
 
 
@@ -81,11 +81,16 @@ def perception_ticks(grid_data: jnp.ndarray, resolution: float,
     VirtualScanner.scan + ChangeDetector.on_scan (tested for parity).
     """
 
+    # padded transposed grid for the Pallas raycaster: loop-invariant (the
+    # map is latched for the whole batch), prepared once outside the scan
+    gt_pad = prepare_raycast_grid(grid_data)
+
     def tick(carry, inp):
         ng, gg = carry
         real, pose, dt = inp
-        virt = raycast_grid(grid_data, resolution, origin_x, origin_y,
-                            pose[0], pose[1], pose[2], angles, range_max)
+        virt = raycast_grid_fast(grid_data, resolution, origin_x, origin_y,
+                                 pose[0], pose[1], pose[2], angles,
+                                 range_max, gt_pad=gt_pad)
         ng, gg = _change_step(ng, gg, real, virt, angles, pose, dt,
                               cfg, range_max)
         apts, acnt = _compact_confident(ng, cfg.grid_resolution,

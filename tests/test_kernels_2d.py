@@ -74,6 +74,83 @@ class TestRaycast:
         assert np.isinf(got).all()
 
 
+class TestRaycastPallas:
+    """The gather-free one-hot kernel must match the XLA path exactly —
+    identical per-sample arithmetic, so bit-for-bit equality is asserted."""
+
+    def _both(self, grid, res, ox, oy, rx, ry, yaw, angles, rmax):
+        from otslam_tpu.kernels.raycast import raycast_grid_fast
+        xla = np.asarray(raycast_grid(jnp.asarray(grid), res, ox, oy,
+                                      rx, ry, yaw, jnp.asarray(angles),
+                                      rmax))
+        pal = np.asarray(raycast_grid_fast(
+            jnp.asarray(grid), res, ox, oy, rx, ry, yaw,
+            jnp.asarray(angles), rmax, impl="pallas", interpret=True))
+        return xla, pal
+
+    def test_matches_xla_walls(self, rng):
+        H, W = 40, 50
+        grid = np.zeros((H, W), np.int8)
+        grid[30, :] = 100
+        grid[:, 45] = 100
+        grid[10, 5] = 100
+        angles = np.linspace(0, 2 * np.pi, 72,
+                             endpoint=False).astype(np.float32)
+        xla, pal = self._both(grid, 0.1, -2.0, -2.0, 0.3, -0.2, 0.4,
+                              angles, 5.0)
+        np.testing.assert_array_equal(xla, pal)
+
+    def test_matches_xla_random_grids(self, rng):
+        for trial in range(3):
+            H, W = 64, 96
+            grid = (rng.random((H, W)) < 0.03).astype(np.int8) * 100
+            angles = np.linspace(-np.pi, np.pi, 40,
+                                 endpoint=False).astype(np.float32)
+            rx, ry = rng.uniform(-1, 6, 2)
+            xla, pal = self._both(grid, 0.08, -1.0, -1.0, rx, ry,
+                                  float(rng.uniform(0, 6)), angles, 4.0)
+            np.testing.assert_array_equal(xla, pal)
+
+    def test_c_cast_boundary(self):
+        grid = np.zeros((20, 20), np.int8)
+        grid[0, 0] = 100
+        xla, pal = self._both(grid, 0.1, 0.0, 0.0, 0.05, 0.05, 0.0,
+                              np.asarray([np.pi], np.float32) *
+                              np.ones(8, np.float32), 1.5)
+        np.testing.assert_array_equal(xla, pal)
+        assert np.isfinite(pal).all()
+
+    def test_unfit_groups_fall_back(self):
+        """Non-contiguous angle sets blow the per-group window; the traced
+        fit flag must route to the XLA path (identical results)."""
+        H, W = 80, 80
+        grid = np.zeros((H, W), np.int8)
+        grid[60, :] = 100
+        # 8 beams pointing in wildly different directions -> group span
+        # far exceeds the static window
+        angles = np.linspace(0, 2 * np.pi, 8,
+                             endpoint=False).astype(np.float32)
+        xla, pal = self._both(grid, 0.05, -2.0, -2.0, 0.0, 0.0, 0.0,
+                              angles, 3.5)
+        np.testing.assert_array_equal(xla, pal)
+
+    def test_prepared_grid_reuse(self):
+        from otslam_tpu.kernels.raycast import (prepare_raycast_grid,
+                                                raycast_grid_fast)
+        grid = np.zeros((30, 30), np.int8)
+        grid[20, :] = 100
+        gt = prepare_raycast_grid(jnp.asarray(grid))
+        angles = np.linspace(0, np.pi, 16, endpoint=False).astype(np.float32)
+        base = np.asarray(raycast_grid(jnp.asarray(grid), 0.1, -1.0, -1.0,
+                                       0.2, 0.1, 0.3, jnp.asarray(angles),
+                                       2.5))
+        got = np.asarray(raycast_grid_fast(
+            jnp.asarray(grid), 0.1, -1.0, -1.0, 0.2, 0.1, 0.3,
+            jnp.asarray(angles), 2.5, gt_pad=gt, impl="pallas",
+            interpret=True))
+        np.testing.assert_array_equal(base, got)
+
+
 def diff_oracle(real, virt, angles, range_max, thr, W):
     """Transcription of diff_node.cpp:102-158."""
     n = len(real)
