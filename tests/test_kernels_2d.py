@@ -134,6 +134,34 @@ class TestRaycastPallas:
                               angles, 3.5)
         np.testing.assert_array_equal(xla, pal)
 
+    def test_mission_geometry_engages_kernel(self):
+        """At the production lidar geometry (1440 contiguous beams, 10 m
+        range, 0.05 m cells — LidarConfig defaults over a Scene-sized map)
+        the per-group fit flag must be True everywhere inside the map, so
+        the Pallas path genuinely runs instead of silently falling back to
+        XLA (a window-sizing regression would otherwise only show up as
+        lost perf on the chip)."""
+        from otslam_tpu.config import LidarConfig
+        from otslam_tpu.kernels.raycast import (_raycast_pallas_keys,
+                                                prepare_raycast_grid)
+        lidar = LidarConfig()
+        H = W = 208                       # Scene.occupancy_grid(0.05) scale
+        grid = np.zeros((H, W), np.int8)
+        res, ox, oy = 0.05, -5.2, -5.2
+        n = lidar.num_beams
+        inc = (lidar.angle_max - lidar.angle_min) / n
+        angles = jnp.asarray(lidar.angle_min + np.arange(n) * inc,
+                             jnp.float32)
+        num_steps = -int(-lidar.range_max // res)
+        gt = prepare_raycast_grid(jnp.asarray(grid))
+        for rx, ry, yaw in [(-1.0, 1.0, -1.5), (0.0, 0.0, 0.0),
+                            (3.0, -3.0, 2.2)]:
+            _, _, fit = _raycast_pallas_keys(
+                gt, W, H, res, ox, oy, jnp.float32(rx), jnp.float32(ry),
+                jnp.float32(yaw), angles, float(lidar.range_max),
+                num_steps, interpret=True)
+            assert bool(fit), f"kernel fell back at pose {(rx, ry, yaw)}"
+
     def test_prepared_grid_reuse(self):
         from otslam_tpu.kernels.raycast import (prepare_raycast_grid,
                                                 raycast_grid_fast)
