@@ -171,7 +171,7 @@ def secondary_child() -> None:
         out["icp_error"] = repr(e)[:120]
     try:
         out["perception_ticks_per_sec"] = measure_perception_ticks()
-        out["perception_unit"] = "ticks/s (1440 beams, 512^2 map, K=64)"
+        out["perception_unit"] = "ticks/s (1440 beams, 208^2 map, K=64)"
     except Exception as e:
         out["perception_error"] = repr(e)[:120]
     try:

@@ -91,17 +91,36 @@ def _ranges_from_keys(first_stop, first_occ, num_steps: int,
 
 _RAY_LANES = 256   # step lanes per beam (rays up to 256 steps; padded)
 _RAY_SUB = 8       # beams per in-kernel one-hot dot (V = 8 * 256 = 2048)
-_WIN_C = 192       # column window sublanes (8-aligned starts: spans <= 184)
-_WIN_R = 384       # row window lanes (128-aligned starts: spans <= 256)
+_R_PLANES = 4      # row-shifted grid copies: row starts at 128//4=32 grain
 _VMEM_GRID_BUDGET = 4 * 1024 * 1024  # bytes of VMEM for the resident grid
 
 
-def _make_ray_kernel(W: int, H: int, bpt: int, num_steps: int,
-                     resolution: float, origin_x: float, origin_y: float):
-    """Kernel over beam groups: per group, load one (WIN_C, WIN_R) window
-    of the TRANSPOSED grid (dynamic 8/128-aligned starts from the scalar
-    prefetch), then per 8-beam sub-block select all 2048 sample cells with
-    ONE one-hot matmul (rows) + one one-hot multiply-reduce (columns) and
+def _win_sizes(W: int, H: int, Wp: int, Hp: int, num_steps: int):
+    """Static window dims sized to the ray extent: a single beam spans at
+    most num_steps+2 cells along either axis (clipped into the map), plus
+    alignment slack — 7 sublanes for the 8-grained column start, 31 lanes
+    for the 32-grained row start (the kernel reads row windows from
+    _R_PLANES lane-shifted grid copies, so starts need only be
+    128//_R_PLANES-aligned). Small maps cap at the padded dims (the window
+    is then the whole axis and the start is 0). The contiguous-lidar group
+    fan adds <1 cell at production geometry (32 beams x 0.25deg); wild
+    angle sets that exceed the window route to the XLA path via the traced
+    fit flag, so sizing can only cost perf, never correctness."""
+    g = 128 // _R_PLANES
+    win_c = min(Wp, -(-(min(num_steps + 2, W) + 7) // 8) * 8)
+    win_r = min(Hp, -(-(min(num_steps + 2, H) + g - 1) // 128) * 128)
+    return win_c, win_r
+
+
+def _make_ray_kernel(W: int, H: int, Wp: int, bpt: int, num_steps: int,
+                     resolution: float, origin_x: float, origin_y: float,
+                     win_c: int, win_r: int):
+    """Kernel over beam groups: per group, load one (win_c, win_r) window
+    of the TRANSPOSED grid (dynamic 8-aligned sublane / 32-grained lane
+    starts from the scalar prefetch — the 32-grain comes from picking one
+    of _R_PLANES lane-shifted grid copies stacked on the sublane axis),
+    then per 8-beam sub-block select all 2048 sample cells with ONE
+    one-hot matmul (rows) + one one-hot multiply-reduce (columns) and
     emit per-sample first-stop/first-occupied step keys. Sample layout is
     (1, SUB * LANES) — beams-major on the lane axis — so the selection dot
     needs no in-kernel reshapes or transposes."""
@@ -109,18 +128,24 @@ def _make_ray_kernel(W: int, H: int, bpt: int, num_steps: int,
     L = _RAY_LANES
     V = _RAY_SUB * L
     res = resolution
+    pg = 128 // _R_PLANES
 
     def kernel(r0_ref, c0_ref, pose_ref, cosa_ref, sina_ref,
                gt_ref, ks_out, ko_out):
         g = pl.program_id(0)
-        r0 = pl.multiple_of(r0_ref[g], 128)
+        r0 = r0_ref[g]                     # true row start, 32-grained
         c0 = pl.multiple_of(c0_ref[g], 8)
         px = pose_ref[0]
         py = pose_ref[1]
+        # plane q holds the grid lane-shifted left by q*pg, so the
+        # 128-aligned lane read r0b below lands the true 32-grained start
+        r0b = pl.multiple_of((r0 // 128) * 128, 128)
+        q = (r0 - r0b) // pg
         # slabT[ci, ri] = grid[r0 + ri, c0 + ci] (transposed grid resident
         # in VMEM; the transpose happens once outside — the kernel's lane
-        # dim is grid rows, so row windows take 128-aligned starts)
-        slab = gt_ref[pl.ds(c0, _WIN_C), pl.ds(r0, _WIN_R)]  # bf16
+        # dim is grid rows)
+        slab = gt_ref[pl.ds(pl.multiple_of(q * Wp + c0, 8), win_c),
+                      pl.ds(r0b, win_r)]   # bf16
 
         li = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
         step = li % L                                   # step index per lane
@@ -149,13 +174,13 @@ def _make_ray_kernel(W: int, H: int, bpt: int, num_steps: int,
 
             lr = gy - r0                                 # window row
             lc = gx - c0                                 # window column
-            iota_r = jax.lax.broadcasted_iota(jnp.int32, (_WIN_R, V), 0)
-            ohr = (iota_r == lr).astype(jnp.bfloat16)    # (WIN_R, V)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (win_r, V), 0)
+            ohr = (iota_r == lr).astype(jnp.bfloat16)    # (win_r, V)
             M1 = jax.lax.dot_general(
                 slab, ohr, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)     # (WIN_C, V)
-            iota_c = jax.lax.broadcasted_iota(jnp.int32, (_WIN_C, V), 0)
+                precision=jax.lax.Precision.DEFAULT)     # (win_c, V)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (win_c, V), 0)
             ohc = (iota_c == lc).astype(jnp.float32)
             val = jnp.sum(M1 * ohc, axis=0, keepdims=True)   # (1, V)
 
@@ -185,8 +210,9 @@ def _raycast_pallas_keys(gt_pad: jnp.ndarray, W: int, H: int,
     """(first_stop, first_occ) step keys per beam via the Pallas kernel,
     plus the per-group window fit flag (False anywhere -> caller must use
     the XLA path; window sizes are static, spans are workload data).
-    W, H are the TRUE grid dims; gt_pad is the padded transposed bf16
-    grid."""
+    W, H are the TRUE grid dims; gt_pad is the prepared (see
+    prepare_raycast_grid) stack of _R_PLANES lane-shifted padded
+    transposed bf16 grid copies."""
     B = angles.shape[0]
     bpt = 32 if B % 32 == 0 else 8
     G = B // bpt
@@ -210,15 +236,18 @@ def _raycast_pallas_keys(gt_pad: jnp.ndarray, W: int, H: int,
     fy_min = jnp.clip(jnp.min(fy.reshape(2, G, bpt), axis=(0, 2)), 0, H - 1)
     fy_max = jnp.clip(jnp.max(fy.reshape(2, G, bpt), axis=(0, 2)), 0, H - 1)
 
-    Wp, Hp = gt_pad.shape[0], gt_pad.shape[1]
-    c0 = jnp.minimum(fx_min & ~7, Wp - _WIN_C)
-    r0 = jnp.minimum(fy_min & ~127, Hp - _WIN_R)
-    fit = jnp.all((fx_max < c0 + _WIN_C) & (fy_max < r0 + _WIN_R))
+    Wp, Hp = gt_pad.shape[0] // _R_PLANES, gt_pad.shape[1]
+    win_c, win_r = _win_sizes(W, H, Wp, Hp, S)
+    pg = 128 // _R_PLANES
+    c0 = jnp.minimum(fx_min & ~7, Wp - win_c)
+    r0 = jnp.minimum(fy_min & ~(pg - 1), Hp - win_r)
+    fit = jnp.all((fx_max < c0 + win_c) & (fy_max < r0 + win_r))
 
     pose = jnp.stack([jnp.asarray(robot_x, jnp.float32),
                       jnp.asarray(robot_y, jnp.float32)])
 
-    kernel = _make_ray_kernel(W, H, bpt, S, res, origin_x, origin_y)
+    kernel = _make_ray_kernel(W, H, Wp, bpt, S, res, origin_x, origin_y,
+                              win_c, win_r)
     vsub = _RAY_SUB * _RAY_LANES
     lanes = (bpt // _RAY_SUB) * vsub
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -241,15 +270,22 @@ def _raycast_pallas_keys(gt_pad: jnp.ndarray, W: int, H: int,
 
 
 def prepare_raycast_grid(grid_data: jnp.ndarray):
-    """Padded transposed bf16 copy of an occupancy grid for the Pallas
-    raycaster (compute once per map; loop-invariant under jit/scan).
-    Pad values are 0 (never occupied) and the kernel bounds-tests against
-    the TRUE dims, so padding never changes results."""
+    """_R_PLANES lane-shifted padded transposed bf16 copies of an occupancy
+    grid, stacked on the sublane axis — plane p holds the grid shifted left
+    by p*(128//_R_PLANES) lanes, giving the kernel 32-grained row-window
+    starts from 128-aligned reads (compute once per map; loop-invariant
+    under jit/scan). Pad/shift-fill values are 0 (never occupied) and the
+    kernel bounds-tests against the TRUE dims, so padding never changes
+    results."""
     H, W = grid_data.shape
-    Wp = max(-(-W // 8) * 8, _WIN_C)
-    Hp = max(-(-H // 128) * 128, _WIN_R)
+    Wp = -(-W // 8) * 8
+    Hp = -(-H // 128) * 128
     gt = jnp.zeros((Wp, Hp), jnp.bfloat16)
-    return gt.at[:W, :H].set(grid_data.T.astype(jnp.bfloat16))
+    gt = gt.at[:W, :H].set(grid_data.T.astype(jnp.bfloat16))
+    pg = 128 // _R_PLANES
+    return jnp.concatenate(
+        [jnp.pad(gt[:, p * pg:], ((0, 0), (0, p * pg)))
+         for p in range(_R_PLANES)], axis=0)
 
 
 def raycast_grid_fast(grid_data: jnp.ndarray, resolution: float,
@@ -275,8 +311,8 @@ def raycast_grid_fast(grid_data: jnp.ndarray, resolution: float,
     B = angles.shape[0]
     on_tpu = jax.default_backend() != "cpu"
     eligible = (num_steps <= _RAY_LANES and B % 8 == 0
-                and 2 * max(-(-W // 8) * 8, _WIN_C)
-                * max(-(-H // 128) * 128, _WIN_R) <= _VMEM_GRID_BUDGET)
+                and 2 * _R_PLANES * (-(-W // 8) * 8)
+                * (-(-H // 128) * 128) <= _VMEM_GRID_BUDGET)
     if impl == "pallas" and not eligible:
         raise ValueError(
             f"pallas raycast ineligible: steps {num_steps} > {_RAY_LANES}, "
