@@ -122,15 +122,28 @@ class TestRaycastPallas:
 
     def test_unfit_groups_fall_back(self):
         """Non-contiguous angle sets blow the per-group window; the traced
-        fit flag must route to the XLA path (identical results)."""
-        H, W = 80, 80
+        fit flag must route to the XLA path (identical results). The grid
+        must be larger than the ray extent along both axes, else the
+        right-sized window covers the whole map and every group fits."""
+        from otslam_tpu.kernels.raycast import (_raycast_pallas_keys,
+                                                _win_sizes,
+                                                prepare_raycast_grid)
+        H, W = 300, 300
         grid = np.zeros((H, W), np.int8)
-        grid[60, :] = 100
+        grid[220, :] = 100
         # 8 beams pointing in wildly different directions -> group span
-        # far exceeds the static window
+        # far exceeds the extent-sized window
         angles = np.linspace(0, 2 * np.pi, 8,
                              endpoint=False).astype(np.float32)
-        xla, pal = self._both(grid, 0.05, -2.0, -2.0, 0.0, 0.0, 0.0,
+        # precondition: this workload genuinely trips the fit flag
+        gt = prepare_raycast_grid(jnp.asarray(grid))
+        num_steps = -int(-3.5 // 0.05)
+        _, _, fit = _raycast_pallas_keys(
+            gt, W, H, 0.05, -7.5, -7.5, jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.asarray(angles), 3.5, num_steps,
+            interpret=True)
+        assert not bool(fit), "fixture no longer exercises the fallback"
+        xla, pal = self._both(grid, 0.05, -7.5, -7.5, 0.0, 0.0, 0.0,
                               angles, 3.5)
         np.testing.assert_array_equal(xla, pal)
 
