@@ -23,12 +23,10 @@ reduction done in-kernel (outputs are two small per-beam step keys).
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -199,14 +197,12 @@ def _make_ray_kernel(W: int, H: int, Wp: int, bpt: int, num_steps: int,
 
 
 @partial(jax.jit, static_argnames=("W", "H", "resolution", "origin_x",
-                                   "origin_y", "range_max", "num_steps",
-                                   "interpret"))
+                                   "origin_y", "num_steps", "interpret"))
 def _raycast_pallas_keys(gt_pad: jnp.ndarray, W: int, H: int,
                          resolution: float,
                          origin_x: float, origin_y: float,
                          robot_x, robot_y, robot_yaw, angles,
-                         range_max: float, num_steps: int,
-                         interpret: bool = False):
+                         num_steps: int, interpret: bool = False):
     """(first_stop, first_occ) step keys per beam via the Pallas kernel,
     plus the per-group window fit flag (False anywhere -> caller must use
     the XLA path; window sizes are static, spans are workload data).
@@ -288,6 +284,27 @@ def prepare_raycast_grid(grid_data: jnp.ndarray):
          for p in range(_R_PLANES)], axis=0)
 
 
+@partial(jax.jit, static_argnames=("resolution", "origin_x", "origin_y",
+                                   "range_max", "num_steps", "interpret"))
+def _raycast_fast_device(grid_data, gt_pad, resolution: float,
+                         origin_x: float, origin_y: float,
+                         robot_x, robot_y, robot_yaw, angles,
+                         range_max: float, num_steps: int, interpret: bool):
+    """Kernel keys + fit-routed ranges as ONE jitted program (an eager
+    keys-then-cond pair costs two ~29 ms tunnel dispatches per K=1 call)."""
+    H, W = grid_data.shape
+    fs, fo, fit = _raycast_pallas_keys(
+        gt_pad, W, H, resolution, origin_x, origin_y,
+        robot_x, robot_y, robot_yaw, angles, num_steps,
+        interpret=interpret)
+    return jax.lax.cond(
+        fit,
+        lambda: _ranges_from_keys(fs, fo, num_steps, resolution),
+        lambda: raycast_grid(grid_data, resolution, origin_x, origin_y,
+                             robot_x, robot_y, robot_yaw, angles,
+                             range_max, num_steps))
+
+
 def raycast_grid_fast(grid_data: jnp.ndarray, resolution: float,
                       origin_x: float, origin_y: float,
                       robot_x, robot_y, robot_yaw, angles,
@@ -304,7 +321,14 @@ def raycast_grid_fast(grid_data: jnp.ndarray, resolution: float,
     never depend on the window assumption. impl: "auto" picks Pallas on
     TPU for eligible shapes; "xla"/"pallas" force a path (pallas
     interprets off-TPU).
+
+    gt_pad must come from prepare_raycast_grid on THIS map (the caller
+    owns coherence when caching it across calls — VirtualScanner
+    invalidates on set_map); a shape mismatch is rejected, same-shape
+    staleness cannot be detected here.
     """
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown impl {impl!r}: use auto/xla/pallas")
     H, W = grid_data.shape
     if num_steps is None:
         num_steps = -int(-range_max // resolution)
@@ -324,13 +348,14 @@ def raycast_grid_fast(grid_data: jnp.ndarray, resolution: float,
                             num_steps)
     if gt_pad is None:
         gt_pad = prepare_raycast_grid(grid_data)
-    fs, fo, fit = _raycast_pallas_keys(
-        gt_pad, W, H, resolution, origin_x, origin_y,
+    else:
+        want = (_R_PLANES * (-(-W // 8) * 8), -(-H // 128) * 128)
+        if tuple(gt_pad.shape) != want:
+            raise ValueError(
+                f"gt_pad shape {tuple(gt_pad.shape)} does not match this "
+                f"grid's prepared shape {want} — stale prepare_raycast_grid "
+                f"result?")
+    return _raycast_fast_device(
+        grid_data, gt_pad, resolution, origin_x, origin_y,
         robot_x, robot_y, robot_yaw, angles, range_max, num_steps,
-        interpret=interpret or not on_tpu)
-    return jax.lax.cond(
-        fit,
-        lambda: _ranges_from_keys(fs, fo, num_steps, resolution),
-        lambda: raycast_grid(grid_data, resolution, origin_x, origin_y,
-                             robot_x, robot_y, robot_yaw, angles,
-                             range_max, num_steps))
+        interpret or not on_tpu)

@@ -140,7 +140,7 @@ class TestRaycastPallas:
         num_steps = -int(-3.5 // 0.05)
         _, _, fit = _raycast_pallas_keys(
             gt, W, H, 0.05, -7.5, -7.5, jnp.float32(0.0), jnp.float32(0.0),
-            jnp.float32(0.0), jnp.asarray(angles), 3.5, num_steps,
+            jnp.float32(0.0), jnp.asarray(angles), num_steps,
             interpret=True)
         assert not bool(fit), "fixture no longer exercises the fallback"
         xla, pal = self._both(grid, 0.05, -7.5, -7.5, 0.0, 0.0, 0.0,
@@ -171,8 +171,7 @@ class TestRaycastPallas:
                             (3.0, -3.0, 2.2)]:
             _, _, fit = _raycast_pallas_keys(
                 gt, W, H, res, ox, oy, jnp.float32(rx), jnp.float32(ry),
-                jnp.float32(yaw), angles, float(lidar.range_max),
-                num_steps, interpret=True)
+                jnp.float32(yaw), angles, num_steps, interpret=True)
             assert bool(fit), f"kernel fell back at pose {(rx, ry, yaw)}"
 
     def test_prepared_grid_reuse(self):
