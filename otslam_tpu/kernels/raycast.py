@@ -12,7 +12,7 @@ one flat gather into the grid + a gather-free first-hit reduction over the
 step axis; the C++ hot loop (1440 beams x up-to-1000 steps at 5 Hz)
 becomes a single device dispatch. The flat gather is the cost: TPU element
 gathers run at ~90M elem/s, and 1440 x 160 samples/tick made the gather
-~half the fused perception tick. `raycast_grid_pallas` replaces it with
+~half the fused perception tick. `raycast_grid_fast` replaces it with
 the package's one-hot-select idiom (the TSDF fusion kernel's): the grid
 lives whole in VMEM, each kernel step loads a dynamic (row, lane)-aligned
 window covering one 32-beam group's full ray extent, and the per-sample
