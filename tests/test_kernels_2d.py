@@ -1,6 +1,7 @@
 """2D perception kernels vs tiny NumPy oracles mirroring the C++ loops."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from otslam_tpu.config import ClusterConfig
@@ -173,6 +174,30 @@ class TestRaycastPallas:
                 gt, W, H, res, ox, oy, jnp.float32(rx), jnp.float32(ry),
                 jnp.float32(yaw), angles, num_steps, interpret=True)
             assert bool(fit), f"kernel fell back at pose {(rx, ry, yaw)}"
+
+    @pytest.mark.slow
+    def test_fuzz_parity(self, rng):
+        """Seeded fuzz over the dangerous regime: windows smaller than the
+        map, poses inside/outside the map, contiguous fans and wild angle
+        sets — exact equality against the XLA path every trial. Shapes are
+        fixed per class so interpret-mode Pallas compiles once."""
+        H, W = 300, 260          # larger than the 72-step ray extent
+        res, rmax = 0.05, 3.6
+        ox, oy = -7.0, -6.0
+        fan = np.linspace(-0.5, 0.5, 32, endpoint=False)
+        for trial in range(8):
+            grid = (rng.random((H, W)) < 0.02).astype(np.int8) * 100
+            if trial % 2:
+                angles = (fan + rng.uniform(0, 2 * np.pi)).astype(np.float32)
+            else:
+                angles = rng.uniform(0, 2 * np.pi, 32).astype(np.float32)
+            rx = float(rng.uniform(-9.0, 9.0))
+            ry = float(rng.uniform(-8.0, 9.0))
+            yaw = float(rng.uniform(0, 2 * np.pi))
+            xla, pal = self._both(grid, res, ox, oy, rx, ry, yaw,
+                                  angles, rmax)
+            np.testing.assert_array_equal(
+                xla, pal, err_msg=f"trial {trial} pose {(rx, ry, yaw)}")
 
     def test_prepared_grid_reuse(self):
         from otslam_tpu.kernels.raycast import (prepare_raycast_grid,
