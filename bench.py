@@ -230,7 +230,9 @@ def main():
             "device_unreachable": probe["error"]}))
         return
     legacy = _run_child("fusion-legacy")
+    legacy["mode"] = "legacy"
     auto = _run_child("fusion-auto")
+    auto["mode"] = "auto"
     candidates = [r for r in (auto, legacy) if "fps" in r]
     out = {"metric": "vga_frames_fused_per_sec", "unit": "frames/s/chip",
            "platform": probe.get("platform")}
@@ -241,8 +243,10 @@ def main():
         out["fusion_config"] = {
             k: best[k] for k in ("patch_rows", "depth_win", "color_rows",
                                  "depth_planes", "max_active")}
+        # keyed by child mode too: the auto search can resolve to the
+        # legacy geometry, and config-only keys would then collide
         out["fusion_config"]["alternates"] = {
-            f"dw{r.get('depth_win')}p{r.get('depth_planes')}"
+            f"{r['mode']}_dw{r.get('depth_win')}p{r.get('depth_planes')}"
             f"_cr{r.get('color_rows')}": r["fps"] for r in candidates}
     else:
         out["value"] = 0.0
