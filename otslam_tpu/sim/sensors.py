@@ -12,6 +12,9 @@ sensor plane; both saturate to 0 / +inf outside [near, far].
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,39 +147,57 @@ def _ray_solid(o, d, solid):
 # RGB-D camera
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
+def _rgbd_renderer(solids, intr: PinholeIntrinsics, near: float, far: float,
+                   include_floor: bool):
+    """One jitted render program per (scene solids, camera): see
+    _lidar_renderer — eager per-op dispatch through the remote-chip
+    tunnel costs ~29 ms per op, and a capture renders VGA rays over
+    every solid."""
+    rays_np = np.asarray(intr.pixel_rays())
+
+    @jax.jit
+    def render(cam_pose_world):
+        rays = jnp.asarray(rays_np)
+        R = cam_pose_world[:3, :3].astype(jnp.float32)
+        t = cam_pose_world[:3, 3].astype(jnp.float32)
+        dirs = rays @ R.T                 # (H, W, 3) world, unit z-cam
+        o = jnp.broadcast_to(t, dirs.shape)
+
+        ts = jnp.stack([_ray_solid(o, dirs, s) for s in solids])  # (K,H,W)
+        if include_floor:
+            dz = jnp.where(jnp.abs(dirs[..., 2]) > 1e-12, dirs[..., 2],
+                           1e-12)
+            t_floor = (0.0 - t[2]) / dz
+            t_floor = jnp.where(t_floor > 0, t_floor, _INF)
+            ts = jnp.concatenate([ts, t_floor[None]], axis=0)
+
+        best = jnp.argmin(ts, axis=0)
+        tmin = jnp.min(ts, axis=0)
+        # depth = optical z = t (rays have unit z in camera frame)
+        depth = jnp.where((tmin > near) & (tmin < far), tmin, 0.0)
+
+        colors = [s.color for s in solids]
+        if include_floor:
+            colors.append((0.9, 0.9, 0.9))
+        palette = jnp.asarray(colors, jnp.float32) * 255.0
+        color = jnp.take(palette, best, axis=0)
+        color = jnp.where((depth > 0)[..., None], color, 0.0)
+        return depth, color
+
+    return render
+
+
 def render_rgbd(scene: Scene, cam_pose_world: np.ndarray,
                 intr: PinholeIntrinsics, near: float = 0.05,
                 far: float = 10.0, include_floor: bool | None = None):
     """Render depth (H, W) f32 meters (0 = no return) and color (H, W, 3)
     f32 in [0, 255] from an optical-frame camera pose."""
-    rays = intr.pixel_rays()
-    R = jnp.asarray(cam_pose_world[:3, :3], jnp.float32)
-    t = jnp.asarray(cam_pose_world[:3, 3], jnp.float32)
-    dirs = rays @ R.T                     # (H, W, 3) world, unit z-cam
-    o = jnp.broadcast_to(t, dirs.shape)
-
-    solids = scene.all_solids()
-    ts = jnp.stack([_ray_solid(o, dirs, s) for s in solids])  # (K, H, W)
     if include_floor is None:
         include_floor = scene.floor
-    if include_floor:
-        dz = jnp.where(jnp.abs(dirs[..., 2]) > 1e-12, dirs[..., 2], 1e-12)
-        t_floor = (0.0 - t[2]) / dz
-        t_floor = jnp.where(t_floor > 0, t_floor, _INF)
-        ts = jnp.concatenate([ts, t_floor[None]], axis=0)
-
-    best = jnp.argmin(ts, axis=0)
-    tmin = jnp.min(ts, axis=0)
-    # depth = optical z = t (rays have unit z in camera frame)
-    depth = jnp.where((tmin > near) & (tmin < far), tmin, 0.0)
-
-    colors = [s.color for s in solids]
-    if include_floor:
-        colors.append((0.9, 0.9, 0.9))
-    palette = jnp.asarray(colors, jnp.float32) * 255.0
-    color = jnp.take(palette, best, axis=0)
-    color = jnp.where((depth > 0)[..., None], color, 0.0)
-    return depth, color
+    render = _rgbd_renderer(scene.all_solids(), intr, float(near),
+                            float(far), bool(include_floor))
+    return render(jnp.asarray(cam_pose_world, jnp.float32))
 
 
 def render_depth(scene: Scene, cam_pose_world: np.ndarray,
@@ -188,16 +209,38 @@ def render_depth(scene: Scene, cam_pose_world: np.ndarray,
 # 2D LiDAR
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=64)
+def _lidar_renderer(solids, range_min: float, range_max: float,
+                    sensor_z: float):
+    """One jitted render program per (scene solids, lidar params): eager
+    per-op dispatch costs ~29 ms EACH through the remote-chip tunnel, and
+    the mission loop renders a scan every control batch — the whole
+    render must be one device program. Solids are hashable frozen
+    dataclasses, so they close over the trace as static geometry."""
+
+    @jax.jit
+    def render(robot_x, robot_y, robot_yaw, angles):
+        ga = robot_yaw + angles
+        dirs = jnp.stack(
+            [jnp.cos(ga), jnp.sin(ga), jnp.zeros_like(ga)], axis=-1)
+        o = jnp.stack(
+            [jnp.broadcast_to(jnp.float32(robot_x), ga.shape),
+             jnp.broadcast_to(jnp.float32(robot_y), ga.shape),
+             jnp.full(ga.shape, sensor_z, jnp.float32)], axis=-1)
+        ts = jnp.stack([_ray_solid(o, dirs, s) for s in solids])
+        tmin = jnp.min(ts, axis=0)
+        return jnp.where((tmin >= range_min) & (tmin <= range_max),
+                         tmin, jnp.inf)
+
+    return render
+
+
 def render_lidar(scene: Scene, robot_x: float, robot_y: float,
                  robot_yaw: float, angles: jnp.ndarray,
                  range_min: float = 0.12, range_max: float = 10.0,
                  sensor_z: float = 0.17) -> jnp.ndarray:
     """Planar scan at height sensor_z; returns ranges (N,), +inf = no return."""
-    ga = robot_yaw + jnp.asarray(angles)
-    dirs = jnp.stack([jnp.cos(ga), jnp.sin(ga), jnp.zeros_like(ga)], axis=-1)
-    o = jnp.broadcast_to(
-        jnp.asarray([robot_x, robot_y, sensor_z], jnp.float32), dirs.shape)
-    solids = scene.all_solids()
-    ts = jnp.stack([_ray_solid(o, dirs, s) for s in solids])
-    tmin = jnp.min(ts, axis=0)
-    return jnp.where((tmin >= range_min) & (tmin <= range_max), tmin, jnp.inf)
+    render = _lidar_renderer(scene.all_solids(), float(range_min),
+                             float(range_max), float(sensor_z))
+    return render(jnp.float32(robot_x), jnp.float32(robot_y),
+                  jnp.float32(robot_yaw), jnp.asarray(angles))
