@@ -48,12 +48,18 @@ class PinholeIntrinsics:
         x = (u - cx) * z / fx, y = (v - cy) * z / fy (pixel centers at integer
         coordinates, matching Open3D's convention).
         """
-        u = jnp.arange(self.width, dtype=dtype)
-        v = jnp.arange(self.height, dtype=dtype)
-        uu, vv = jnp.meshgrid(u, v)  # (H, W)
+        # host numpy: this is setup-time geometry, and building it with
+        # eager jnp ops costs a chain of remote compiles + a blocking
+        # fetch through the axon tunnel before anything real runs
+        # f32 numpy arithmetic (python scalars are weak under NEP 50) is
+        # bit-identical to the previous eager-jnp f32 formulation
+        u = np.arange(self.width, dtype=np.float32)
+        v = np.arange(self.height, dtype=np.float32)
+        uu, vv = np.meshgrid(u, v)  # (H, W)
         x = (uu - self.cx) / self.fx
         y = (vv - self.cy) / self.fy
-        return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        rays = np.stack([x, y, np.ones_like(x)], axis=-1)
+        return jnp.asarray(rays).astype(dtype)
 
     def project(self, pts_cam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Project camera-frame points (..., 3) to pixel coords.

@@ -22,7 +22,11 @@ from otslam_tpu.core.camera import PinholeIntrinsics
 from otslam_tpu.core.se3 import se3
 from otslam_tpu.sim.world import Box, Cone, Cylinder, Scene
 
-_INF = jnp.float32(1e10)
+# host scalar, not jnp.float32(...): a module-level device array would
+# initialize the backend at import time and be embedded as a device-array
+# constant into every render jaxpr (its lowering then blocks on a tunnel
+# fetch)
+_INF = np.float32(1e10)
 
 
 def look_at_pose(eye, target, up=(0.0, 0.0, -1.0)) -> np.ndarray:
