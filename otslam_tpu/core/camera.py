@@ -41,25 +41,37 @@ class PinholeIntrinsics:
             dtype=np.float64,
         )
 
-    def pixel_rays(self, dtype=jnp.float32) -> jnp.ndarray:
-        """(H, W, 3) camera-frame ray directions with unit z.
+    def pixel_rays_np(self, dtype=np.float32) -> np.ndarray:
+        """(H, W, 3) camera-frame ray directions with unit z, HOST numpy.
 
         point = depth * ray  reproduces Open3D's back-projection
         x = (u - cx) * z / fx, y = (v - cy) * z / fy (pixel centers at integer
         coordinates, matching Open3D's convention).
+
+        Setup-time geometry stays on the host: building it with eager jnp
+        ops costs a chain of remote compiles + a blocking fetch through the
+        axon tunnel before anything real runs. f32 numpy arithmetic (python
+        scalars are weak under NEP 50) is bit-identical to the old
+        eager-jnp f32 formulation; f64 computes in f64.
         """
-        # host numpy: this is setup-time geometry, and building it with
-        # eager jnp ops costs a chain of remote compiles + a blocking
-        # fetch through the axon tunnel before anything real runs
-        # f32 numpy arithmetic (python scalars are weak under NEP 50) is
-        # bit-identical to the previous eager-jnp f32 formulation
-        u = np.arange(self.width, dtype=np.float32)
-        v = np.arange(self.height, dtype=np.float32)
+        u = np.arange(self.width, dtype=dtype)
+        v = np.arange(self.height, dtype=dtype)
         uu, vv = np.meshgrid(u, v)  # (H, W)
         x = (uu - self.cx) / self.fx
         y = (vv - self.cy) / self.fy
-        rays = np.stack([x, y, np.ones_like(x)], axis=-1)
-        return jnp.asarray(rays).astype(dtype)
+        return np.stack([x, y, np.ones_like(x)], axis=-1)
+
+    def pixel_rays(self, dtype=jnp.float32) -> jnp.ndarray:
+        """Device copy of pixel_rays_np, computed at the requested precision
+        when it is a numpy float type (f32/f64), else computed in f32 and
+        cast once (e.g. bfloat16)."""
+        try:
+            np_dt = np.dtype(jnp.dtype(dtype).name)
+            if np_dt.kind != "f" or np_dt.itemsize < 4:
+                np_dt = np.dtype(np.float32)
+        except TypeError:
+            np_dt = np.dtype(np.float32)
+        return jnp.asarray(self.pixel_rays_np(np_dt)).astype(dtype)
 
     def project(self, pts_cam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Project camera-frame points (..., 3) to pixel coords.

@@ -151,18 +151,40 @@ def _ray_solid(o, d, solid):
 # RGB-D camera
 # ---------------------------------------------------------------------------
 
+def _canonical_solids(solids):
+    """Hashable copies of scene solids for the renderer caches: the render
+    API is duck-typed (fields are only read), so tolerate list/ndarray
+    fields by tuple-ifying them instead of crashing inside lru_cache."""
+    import dataclasses
+
+    out = []
+    for s in solids:
+        kw = {}
+        for f in dataclasses.fields(s):
+            v = getattr(s, f.name)
+            if isinstance(v, (list, np.ndarray)):
+                v = tuple(float(x) for x in np.asarray(v).ravel())
+            elif isinstance(v, (np.floating, np.integer)):
+                v = float(v)
+            kw[f.name] = v
+        out.append(dataclasses.replace(s, **kw))
+    return tuple(out)
+
+
 @functools.lru_cache(maxsize=64)
 def _rgbd_renderer(solids, intr: PinholeIntrinsics, near: float, far: float,
                    include_floor: bool):
     """One jitted render program per (scene solids, camera): see
     _lidar_renderer — eager per-op dispatch through the remote-chip
     tunnel costs ~29 ms per op, and a capture renders VGA rays over
-    every solid."""
-    rays_np = np.asarray(intr.pixel_rays())
+    every solid. The ray table is built host-side and passed as a call
+    argument (uploaded once, NOT embedded as a per-program HLO
+    constant — a closed-over device array would bloat every remote
+    compile and the persistent cache by ~3.7 MB at VGA)."""
+    rays_dev = jnp.asarray(intr.pixel_rays_np())
 
     @jax.jit
-    def render(cam_pose_world):
-        rays = jnp.asarray(rays_np)
+    def render(cam_pose_world, rays):
         R = cam_pose_world[:3, :3].astype(jnp.float32)
         t = cam_pose_world[:3, 3].astype(jnp.float32)
         dirs = rays @ R.T                 # (H, W, 3) world, unit z-cam
@@ -189,7 +211,7 @@ def _rgbd_renderer(solids, intr: PinholeIntrinsics, near: float, far: float,
         color = jnp.where((depth > 0)[..., None], color, 0.0)
         return depth, color
 
-    return render
+    return lambda pose: render(pose, rays_dev)
 
 
 def render_rgbd(scene: Scene, cam_pose_world: np.ndarray,
@@ -199,8 +221,8 @@ def render_rgbd(scene: Scene, cam_pose_world: np.ndarray,
     f32 in [0, 255] from an optical-frame camera pose."""
     if include_floor is None:
         include_floor = scene.floor
-    render = _rgbd_renderer(scene.all_solids(), intr, float(near),
-                            float(far), bool(include_floor))
+    render = _rgbd_renderer(_canonical_solids(scene.all_solids()), intr,
+                            float(near), float(far), bool(include_floor))
     return render(jnp.asarray(cam_pose_world, jnp.float32))
 
 
@@ -244,7 +266,8 @@ def render_lidar(scene: Scene, robot_x: float, robot_y: float,
                  range_min: float = 0.12, range_max: float = 10.0,
                  sensor_z: float = 0.17) -> jnp.ndarray:
     """Planar scan at height sensor_z; returns ranges (N,), +inf = no return."""
-    render = _lidar_renderer(scene.all_solids(), float(range_min),
-                             float(range_max), float(sensor_z))
+    render = _lidar_renderer(_canonical_solids(scene.all_solids()),
+                             float(range_min), float(range_max),
+                             float(sensor_z))
     return render(jnp.float32(robot_x), jnp.float32(robot_y),
                   jnp.float32(robot_yaw), jnp.asarray(angles))
