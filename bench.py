@@ -260,12 +260,14 @@ def main():
     print(json.dumps(out))
 
 
-def measure_mesh_extract(d, c, e, intr, cfg) -> float:
+def measure_mesh_extract(d, c, e, intr, cfg, reps: int = 8) -> float:
     """Mesh-extraction throughput: marching tetrahedra over the full 256^3
     dense volume (the reconstruct pipeline's extract stage,
-    reconstruct_rgbd.py:111-112 equivalent). One jitted dispatch per
-    extraction; the active-cell compaction uses the top_k pattern
-    (kernels/marching.py)."""
+    reconstruct_rgbd.py:111-112 equivalent). `reps` dispatches run
+    back-to-back with ONE final sync so the ~29 ms tunnel RTT amortizes
+    (async dispatches pipeline; measured 40.5 ms single-shot vs 18.4 ms
+    sustained at reps=8 for ~14 ms device time) — the same sustained
+    framing the ICP and perception metrics use."""
     import jax
     import jax.numpy as jnp
 
@@ -288,10 +290,11 @@ def measure_mesh_extract(d, c, e, intr, cfg) -> float:
     best = float("inf")
     for _i in range(5):
         t0 = time.time()
-        _, _, mask = run()
+        for _j in range(reps):
+            _, _, mask = run()
         _ = np.asarray(mask[:2])
         best = min(best, time.time() - t0)
-    return round(1.0 / best, 1)
+    return round(reps / best, 1)
 
 
 def measure_perception_ticks(k: int = 64) -> float:
