@@ -180,6 +180,13 @@ def secondary_child() -> None:
         out["mesh_unit"] = "extractions/s (256^3 marching tetrahedra)"
     except Exception as exc:
         out["mesh_error"] = repr(exc)[:120]
+    try:
+        out["mesh_block_extracts_per_sec"] = measure_mesh_block(
+            depths, colors, exts, intr, cfg)
+        out["mesh_block_unit"] = ("extractions/s (256^3 grid, created "
+                                  "blocks only)")
+    except Exception as exc:
+        out["mesh_block_error"] = repr(exc)[:120]
     print(json.dumps(out))
 
 
@@ -284,6 +291,42 @@ def measure_mesh_extract(d, c, e, intr, cfg, reps: int = 8) -> float:
 
     def run():
         return extract_mesh_soup(vol, max_cells=mc)
+
+    _, _, mask = run()
+    _ = np.asarray(mask[:2])
+    best = float("inf")
+    for _i in range(5):
+        t0 = time.time()
+        for _j in range(reps):
+            _, _, mask = run()
+        _ = np.asarray(mask[:2])
+        best = min(best, time.time() - t0)
+    return round(reps / best, 1)
+
+
+def measure_mesh_block(d, c, e, intr, cfg, reps: int = 8) -> float:
+    """Block-sparse mesh extraction: marching tetrahedra directly over the
+    created blocks of the fused BlockTSDFVolume (the pipeline's actual
+    extract stage for the sparse/pallas backends since round 3) — cost
+    scales with the surface, not the 256^3 grid. Same sustained framing as
+    measure_mesh_extract."""
+    import jax.numpy as jnp
+
+    from otslam_tpu.kernels.marching import (auto_mesh_block_config,
+                                             extract_mesh_soup_block)
+    from otslam_tpu.kernels.tsdf_block import (integrate_frames_sparse,
+                                               make_block_volume)
+    from otslam_tpu.kernels.tsdf_pallas import auto_max_active
+
+    vol0 = make_block_volume(cfg)
+    ma = auto_max_active(vol0, jnp.asarray(d), jnp.asarray(e), intr)
+    vol = integrate_frames_sparse(vol0, jnp.asarray(d), jnp.asarray(c),
+                                  jnp.asarray(e), intr, max_active=ma)
+    _ = np.asarray(vol.tsdf[:2, 0])
+    mb, mc = auto_mesh_block_config(vol)
+
+    def run():
+        return extract_mesh_soup_block(vol, mb, mc)
 
     _, _, mask = run()
     _ = np.asarray(mask[:2])

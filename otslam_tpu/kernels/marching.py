@@ -190,6 +190,13 @@ def extract_mesh_soup(vol: TSDFVolume, max_cells: int = 131072):
                    + 0.5) * vol.voxel_size
                   + jnp.asarray(vol.origin, jnp.float32))       # (C, 8, 3)
 
+    return _soup_from_corners(tv, corner_pos, cv, cell_mask)
+
+
+def _soup_from_corners(tv, corner_pos, cv, cell_mask):
+    """Per-cell marching-tetrahedra phase, shared by the dense and block
+    paths: corner tsdf (C, 8), world positions (C, 8, 3) and colors
+    (C, 8, 3) in, masked triangle soup out."""
     # per-tet case ids
     tet_t = tv[:, _TETS]                                        # (C, 6, 4)
     bits = (tet_t < 0).astype(jnp.int32)
@@ -267,14 +274,164 @@ def auto_max_cells(vol: TSDFVolume, cap: int = 131072) -> int:
     return min(b, cap)
 
 
-def extract_mesh(vol: TSDFVolume, max_cells: int | None = None):
+# --- block-sparse marching tetrahedra --------------------------------------
+# Mesh extraction directly from a BlockTSDFVolume: touches only created
+# blocks (plus halo rows from their +axis/+diagonal neighbors), so cost
+# scales with the surface, not the grid — the 256^3 dense sweep classifies
+# 16.6M cells where a scan-circle object has ~2k created blocks (~1M cells).
+# Bit-identical triangles to extract_mesh_soup(block_to_dense(vol)) up to
+# soup order (cells compact block-major here, x-major there); tested.
+
+_BLK_OFFS = tuple((ox, oy, oz) for ox in (0, 1) for oy in (0, 1)
+                  for oz in (0, 1) if (ox, oy, oz) != (0, 0, 0))
+
+
+def _block_halo_ids(grid_blocks, nb, ids):
+    """Per +offset combination, the neighbor block id of each compacted id
+    (the dead row nb at grid boundaries and for padding ids)."""
+    bx, by, bz = grid_blocks
+    ix = ids // (by * bz)
+    iy = (ids // bz) % by
+    iz = ids % bz
+    ok0 = ids < nb
+    out = {}
+    for (ox, oy, oz) in _BLK_OFFS:
+        ok = ok0 & (ix + ox < bx) & (iy + oy < by) & (iz + oz < bz)
+        out[(ox, oy, oz)] = jnp.where(ok, ids + ox * by * bz + oy * bz + oz,
+                                      nb)
+    return out
+
+
+def _corner_stack_block(arr, ids, halo_ids, M):
+    """(M*512, 8) per-voxel corner stack of one block-row field: expand each
+    block to its (9, 9, 9) halo (neighbor planes/edges/corner pulled in via
+    row gathers — the dead row supplies zeros at boundaries), then the 8
+    corner fields are static slices. No element gathers."""
+    from otslam_tpu.kernels.tsdf_block import BLOCK
+
+    def rows4(sel):
+        return jnp.take(arr, sel, axis=0).reshape(M, BLOCK, BLOCK, BLOCK)
+
+    e = jnp.zeros((M, 9, 9, 9), arr.dtype)
+    e = e.at[:, :8, :8, :8].set(rows4(ids))
+    e = e.at[:, 8, :8, :8].set(rows4(halo_ids[(1, 0, 0)])[:, 0, :, :])
+    e = e.at[:, :8, 8, :8].set(rows4(halo_ids[(0, 1, 0)])[:, :, 0, :])
+    e = e.at[:, :8, :8, 8].set(rows4(halo_ids[(0, 0, 1)])[:, :, :, 0])
+    e = e.at[:, 8, 8, :8].set(rows4(halo_ids[(1, 1, 0)])[:, 0, 0, :])
+    e = e.at[:, 8, :8, 8].set(rows4(halo_ids[(1, 0, 1)])[:, 0, :, 0])
+    e = e.at[:, :8, 8, 8].set(rows4(halo_ids[(0, 1, 1)])[:, :, 0, 0])
+    e = e.at[:, 8, 8, 8].set(rows4(halo_ids[(1, 1, 1)])[:, 0, 0, 0])
+    return jnp.stack([e[:, dx:dx + 8, dy:dy + 8, dz:dz + 8]
+                      for (dx, dy, dz) in _CORNERS], axis=-1).reshape(-1, 8)
+
+
+def _block_active_cells(vol, max_blocks: int):
+    """Compacted created-block ids, their halo ids, the (M*512, 8) tsdf
+    corner stack, and the flat active-cell mask."""
+    from otslam_tpu.kernels.tsdf_block import BLOCK_VOXELS
+
+    nb = vol.num_blocks
+    ids = compact_ids(vol.created[:nb], max_blocks, nb)
+    halo = _block_halo_ids(vol.grid_blocks, nb, ids)
+    t8 = _corner_stack_block(vol.tsdf, ids, halo, max_blocks)
+    w8 = _corner_stack_block(vol.weight, ids, halo, max_blocks)
+    # padding entries alias the dead row; keep self-contained even if a
+    # caller dirtied it (mirrors extract_surface_points_sparse)
+    valid = jnp.repeat(ids < nb, BLOCK_VOXELS)
+    observed = jnp.all(w8 > 0, axis=1) & valid
+    neg = t8 < 0
+    mixed = jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
+    return ids, halo, t8, observed & mixed
+
+
+@partial(jax.jit, static_argnames=("max_blocks", "max_cells"))
+def extract_mesh_soup_block(vol, max_blocks: int = 4096,
+                            max_cells: int = 32768):
+    """Marching-tetrahedra triangle soup from a BlockTSDFVolume.
+
+    Same contract as ``extract_mesh_soup`` (verts (T,3,3), cols (T,3,3),
+    tri_mask (T,), T = max_cells * 12); triangles are identical to the
+    densified path's as a set (soup order is block-major)."""
+    from otslam_tpu.kernels.tsdf_block import BLOCK, BLOCK_VOXELS
+
+    bx, by, bz = vol.grid_blocks
+    V = BLOCK_VOXELS
+    ids, halo, t8, active = _block_active_cells(vol, max_blocks)
+
+    cells = _compact_ids_hier(active, max_cells)
+    cell_mask = jnp.arange(max_cells) < jnp.sum(active)
+    cells = jnp.where(cell_mask, cells, 0)
+
+    # decode cell -> global base voxel
+    mi = cells // V
+    l = cells % V
+    lx = l // (BLOCK * BLOCK)
+    ly = (l // BLOCK) % BLOCK
+    lz = l % BLOCK
+    bid = jnp.take(ids, mi)                 # padded cells decode row 0: masked
+    ix = bid // (by * bz)
+    iy = (bid // bz) % by
+    iz = bid % bz
+    base = jnp.stack([ix * BLOCK + lx, iy * BLOCK + ly, iz * BLOCK + lz],
+                     axis=-1).astype(jnp.float32)
+    corner_pos = ((base[:, None, :] + _CORNERS[None].astype(jnp.float32)
+                   + 0.5) * vol.voxel_size
+                  + jnp.asarray(vol.origin, jnp.float32))       # (C, 8, 3)
+
+    tv = jnp.take(t8, cells, axis=0)                            # (C, 8)
+    cv = jnp.stack(
+        [jnp.take(_corner_stack_block(vol.color[:, c * V:(c + 1) * V],
+                                      ids, halo, max_blocks), cells, axis=0)
+         for c in range(3)], axis=-1)                           # (C, 8, 3)
+    return _soup_from_corners(tv, corner_pos, cv, cell_mask)
+
+
+@partial(jax.jit, static_argnames=("max_blocks",))
+def _count_active_cells_block(vol, max_blocks: int):
+    return jnp.sum(_block_active_cells(vol, max_blocks)[3], dtype=jnp.int32)
+
+
+def _pow2_bucket(n: int, lo: int, cap: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def auto_mesh_block_config(vol, blocks_cap: int = 32768,
+                           cells_cap: int = 131072,
+                           max_cells: int | None = None):
+    """(max_blocks, max_cells) sized to the volume (exact counts, bucketed
+    to powers of two to limit recompiles) — the block-path analog of
+    auto_max_cells."""
+    nbk = max(int(jnp.sum(vol.created[:vol.num_blocks], dtype=jnp.int32)), 1)
+    mb = _pow2_bucket(nbk, 256, blocks_cap)
+    if max_cells is None:
+        n = max(int(_count_active_cells_block(vol, mb)), 1)
+        max_cells = _pow2_bucket(n, 1024, cells_cap)
+    return mb, max_cells
+
+
+def extract_mesh(vol, max_cells: int | None = None):
     """Host-side welded mesh: (vertices (V,3), faces (F,3), colors (V,3),
     normals (V,3)). Vertices quantized to 1e-5 m for welding.
 
-    max_cells None = auto (exact active-cell count, bucketed)."""
+    Accepts a dense TSDFVolume or a BlockTSDFVolume (extracted sparsely,
+    created blocks only). max_cells None = auto (exact active-cell count,
+    bucketed)."""
+    if hasattr(vol, "grid_blocks"):         # block volume (duck-typed)
+        mb, mc = auto_mesh_block_config(vol, max_cells=max_cells)
+        verts, cols, mask = extract_mesh_soup_block(vol, mb, mc)
+        return _weld_mesh(verts, cols, mask)
     if max_cells is None:
         max_cells = auto_max_cells(vol)
     verts, cols, mask = extract_mesh_soup(vol, max_cells)
+    return _weld_mesh(verts, cols, mask)
+
+
+def _weld_mesh(verts, cols, mask):
+    """Host-side vertex welding of a masked triangle soup (1e-5 m
+    quantization) into (vertices, faces, colors, normals)."""
     v = np.asarray(verts)[np.asarray(mask)].reshape(-1, 3)
     c = np.asarray(cols)[np.asarray(mask)].reshape(-1, 3)
     if len(v) == 0:

@@ -200,8 +200,10 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
               "pgo": refine_trajectory_pgo}[refine]
         refined = fn(batch.depths, batch.colors, batch.extrinsics, intr, cfg)
         batch = _dc.replace(batch, extrinsics=refined.extrinsics)
+    # sparse backends stay in block form for both outputs: extract_mesh and
+    # extract_filtered_cloud both extract directly from created blocks
     vol = fuse_frames(batch.depths, batch.colors, batch.extrinsics, intr,
-                      cfg, backend, densify=(output == "mesh"))
+                      cfg, backend, densify=False)
     if output == "mesh":
         from otslam_tpu.kernels.marching import extract_mesh
         verts, faces, cols, normals = extract_mesh(vol)

@@ -106,6 +106,88 @@ class TestFromFusion:
         np.testing.assert_allclose(cols.mean(), 200 / 255, atol=0.02)
 
 
+def _masked_tris(soup):
+    verts, cols, mask = soup
+    m = np.asarray(mask)
+    return np.asarray(verts)[m], np.asarray(cols)[m]
+
+
+def _canon(tris):
+    """Lexsort a triangle list by its 9 coordinates (soup order differs
+    between the dense x-major and block-major compactions)."""
+    flat = tris.reshape(len(tris), -1)
+    order = np.lexsort(flat.T[::-1])
+    return flat[order]
+
+
+class TestBlockPath:
+    """extract_mesh_soup_block must produce the identical triangle SET as
+    the densified path — same corner values, same shared soup phase, only
+    the cell compaction order differs."""
+
+    def _fused_block_volume(self):
+        from otslam_tpu.kernels.tsdf_block import (integrate_frames_sparse,
+                                                   make_block_volume)
+        intr = PinholeIntrinsics(64, 48, 56.0, 56.0, 32.0, 24.0)
+        depth = np.full((2, 48, 64), 0.3503, np.float32)
+        depth[1] += 0.08                       # second wall plane
+        color = np.zeros((2, 48, 64, 3), np.float32)
+        color[0] = 200.0
+        color[1] = 40.0
+        ext = np.stack([np.eye(4), np.eye(4)]).astype(np.float32)
+        ext[1, 2, 3] = 0.08                    # shifted camera
+        cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(48, 48, 48),
+                         origin=(-0.48, -0.48, 0.0))
+        return integrate_frames_sparse(make_block_volume(cfg),
+                                       jnp.asarray(depth), jnp.asarray(color),
+                                       jnp.asarray(ext), intr,
+                                       max_active=512)
+
+    def test_soup_matches_densified(self):
+        from otslam_tpu.kernels.marching import extract_mesh_soup_block
+        from otslam_tpu.kernels.tsdf_block import block_to_dense
+
+        bvol = self._fused_block_volume()
+        dense = block_to_dense(bvol)
+        v_d, c_d = _masked_tris(extract_mesh_soup(dense, max_cells=16384))
+        v_b, c_b = _masked_tris(extract_mesh_soup_block(bvol, max_blocks=512,
+                                                        max_cells=16384))
+        assert len(v_d) > 100 and len(v_d) == len(v_b)
+        np.testing.assert_array_equal(_canon(v_d), _canon(v_b))
+        # colors ride the same canonical order as their vertices
+        key_d = np.lexsort(v_d.reshape(len(v_d), -1).T[::-1])
+        key_b = np.lexsort(v_b.reshape(len(v_b), -1).T[::-1])
+        np.testing.assert_array_equal(c_d[key_d], c_b[key_b])
+
+    def test_extract_mesh_accepts_block_volume(self):
+        from otslam_tpu.kernels.tsdf_block import block_to_dense
+
+        bvol = self._fused_block_volume()
+        v_b, f_b, c_b, n_b = extract_mesh(bvol)            # auto capacities
+        v_d, f_d, c_d, n_d = extract_mesh(block_to_dense(bvol))
+        # welded meshes are identical (np.unique canonicalizes vertex order)
+        np.testing.assert_array_equal(v_b, v_d)
+        assert len(f_b) == len(f_d)
+        np.testing.assert_array_equal(c_b, c_d)
+
+    def test_empty_volume(self):
+        from otslam_tpu.kernels.tsdf_block import make_block_volume
+        cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(48, 48, 48),
+                         origin=(-0.48, -0.48, 0.0))
+        v, f, c, n = extract_mesh(make_block_volume(cfg))
+        assert len(v) == 0 and len(f) == 0
+
+    def test_auto_config_matches_oversized(self):
+        from otslam_tpu.kernels.marching import (auto_mesh_block_config,
+                                                 extract_mesh_soup_block)
+        bvol = self._fused_block_volume()
+        mb, mc = auto_mesh_block_config(bvol)
+        v_a, _ = _masked_tris(extract_mesh_soup_block(bvol, mb, mc))
+        v_big, _ = _masked_tris(extract_mesh_soup_block(bvol, max_blocks=512,
+                                                        max_cells=16384))
+        np.testing.assert_array_equal(_canon(v_a), _canon(v_big))
+
+
 class TestHierCompaction:
     """_compact_ids_hier must be a drop-in for compact_ids (the flat top_k
     over all 16.6M cell keys was 39 ms of every 256^3 extraction on-chip;
