@@ -358,7 +358,10 @@ def extract_mesh_soup_block(vol, max_blocks: int = 4096,
     V = BLOCK_VOXELS
     ids, halo, t8, active = _block_active_cells(vol, max_blocks)
 
-    cells = _compact_ids_hier(active, max_cells)
+    # seg=32: at block-path sizes (M*512 ~ 1M cells, max_cells ~ 8k) the
+    # default seg=128 leaves n_segs <= max_ids, degenerating to a flat
+    # argsort over the full million keys; 32 keeps the hierarchy engaged
+    cells = _compact_ids_hier(active, max_cells, seg=32)
     cell_mask = jnp.arange(max_cells) < jnp.sum(active)
     cells = jnp.where(cell_mask, cells, 0)
 
