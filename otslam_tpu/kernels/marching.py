@@ -346,12 +346,16 @@ def _block_active_cells(vol, max_blocks: int):
 
 @partial(jax.jit, static_argnames=("max_blocks", "max_cells"))
 def extract_mesh_soup_block(vol, max_blocks: int = 4096,
-                            max_cells: int = 32768):
+                            max_cells: int = 32768, origin=None):
     """Marching-tetrahedra triangle soup from a BlockTSDFVolume.
 
     Same contract as ``extract_mesh_soup`` (verts (T,3,3), cols (T,3,3),
     tri_mask (T,), T = max_cells * 12); triangles are identical to the
-    densified path's as a set (soup order is block-major)."""
+    densified path's as a set (soup order is block-major).
+
+    origin: optional traced (3,) world origin overriding ``vol.origin`` —
+    lets the batched path vmap over per-volume origins while keeping the
+    arithmetic (and thus the output bits) identical to the single path."""
     from otslam_tpu.kernels.tsdf_block import BLOCK, BLOCK_VOXELS
 
     bx, by, bz = vol.grid_blocks
@@ -377,9 +381,10 @@ def extract_mesh_soup_block(vol, max_blocks: int = 4096,
     iz = bid % bz
     base = jnp.stack([ix * BLOCK + lx, iy * BLOCK + ly, iz * BLOCK + lz],
                      axis=-1).astype(jnp.float32)
+    org = (jnp.asarray(vol.origin, jnp.float32) if origin is None
+           else jnp.asarray(origin, jnp.float32))
     corner_pos = ((base[:, None, :] + _CORNERS[None].astype(jnp.float32)
-                   + 0.5) * vol.voxel_size
-                  + jnp.asarray(vol.origin, jnp.float32))       # (C, 8, 3)
+                   + 0.5) * vol.voxel_size + org)               # (C, 8, 3)
 
     tv = jnp.take(t8, cells, axis=0)                            # (C, 8)
     cv = jnp.stack(
@@ -413,6 +418,45 @@ def auto_mesh_block_config(vol, blocks_cap: int = 32768,
         n = max(int(_count_active_cells_block(vol, mb)), 1)
         max_cells = _pow2_bucket(n, 1024, cells_cap)
     return mb, max_cells
+
+
+def extract_meshes_block(vols, max_blocks: int | None = None,
+                         max_cells: int | None = None):
+    """Batched triangle soups for B same-shape BlockTSDFVolumes in ONE
+    dispatch: (verts (B,T,3,3), cols (B,T,3,3), masks (B,T)).
+
+    Through the remote-chip tunnel a dispatch costs ~29 ms RTT, so
+    extracting a multi-object scene's volumes one call at a time is
+    dispatch-bound; vmapping the block extraction amortizes it the same
+    way perception fuses K ticks per dispatch. Volumes may have different
+    origins (vmapped as a traced arg — bit-identical to the single path);
+    grid shape / voxel size / truncation must match. Capacities default to
+    the max of the per-volume auto configs."""
+    from otslam_tpu.kernels.tsdf_block import BlockTSDFVolume
+
+    v0 = vols[0]
+    for v in vols[1:]:
+        if (v.grid_blocks != v0.grid_blocks
+                or v.voxel_size != v0.voxel_size
+                or v.sdf_trunc != v0.sdf_trunc):
+            raise ValueError("batched extraction needs same-shape volumes")
+    if max_blocks is None or max_cells is None:
+        cfgs = [auto_mesh_block_config(v) for v in vols]
+        max_blocks = max_blocks or max(mb for mb, _ in cfgs)
+        max_cells = max_cells or max(mc for _, mc in cfgs)
+
+    t = jnp.stack([v.tsdf for v in vols])
+    w = jnp.stack([v.weight for v in vols])
+    c = jnp.stack([v.color for v in vols])
+    cr = jnp.stack([v.created for v in vols])
+    origins = jnp.asarray([v.origin for v in vols], jnp.float32)
+
+    def one(t_, w_, c_, cr_, o_):
+        vol = BlockTSDFVolume(t_, w_, c_, cr_, (0.0, 0.0, 0.0),
+                              v0.voxel_size, v0.sdf_trunc, v0.grid_blocks)
+        return extract_mesh_soup_block(vol, max_blocks, max_cells, origin=o_)
+
+    return jax.vmap(one)(t, w, c, cr, origins)
 
 
 def extract_mesh(vol, max_cells: int | None = None):

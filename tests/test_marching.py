@@ -177,6 +177,39 @@ class TestBlockPath:
         v, f, c, n = extract_mesh(make_block_volume(cfg))
         assert len(v) == 0 and len(f) == 0
 
+    def test_batched_matches_single(self):
+        """extract_meshes_block (B volumes, one dispatch) must reproduce
+        the per-volume single-call soups bit-exactly, including distinct
+        per-volume origins (vmapped as a traced argument)."""
+        import dataclasses as dc
+        from otslam_tpu.kernels.marching import (extract_mesh_soup_block,
+                                                 extract_meshes_block)
+
+        v1 = self._fused_block_volume()
+        v2 = dc.replace(self._fused_block_volume(),
+                        tsdf=v1.tsdf * 0.7, origin=(-0.4, -0.44, 0.02))
+        verts, cols, masks = extract_meshes_block([v1, v2], max_blocks=512,
+                                                  max_cells=16384)
+        for b, v in enumerate((v1, v2)):
+            sv, sc, sm = extract_mesh_soup_block(v, max_blocks=512,
+                                                 max_cells=16384)
+            np.testing.assert_array_equal(np.asarray(masks[b]),
+                                          np.asarray(sm))
+            m = np.asarray(sm)
+            np.testing.assert_array_equal(np.asarray(verts[b])[m],
+                                          np.asarray(sv)[m])
+            np.testing.assert_array_equal(np.asarray(cols[b])[m],
+                                          np.asarray(sc)[m])
+
+    def test_batched_rejects_shape_mismatch(self):
+        import dataclasses as dc
+        import pytest
+        from otslam_tpu.kernels.marching import extract_meshes_block
+        v1 = self._fused_block_volume()
+        v2 = dc.replace(v1, voxel_size=0.04)
+        with pytest.raises(ValueError):
+            extract_meshes_block([v1, v2])
+
     def test_auto_config_matches_oversized(self):
         from otslam_tpu.kernels.marching import (auto_mesh_block_config,
                                                  extract_mesh_soup_block)
