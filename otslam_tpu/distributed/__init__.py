@@ -8,6 +8,7 @@ from otslam_tpu.distributed.sharding import (  # noqa: F401
     chamfer_data_parallel,
 )
 from otslam_tpu.distributed.sparse import (  # noqa: F401
+    extract_meshes_sharded,
     fuse_frames_sparse_data_parallel,
     fuse_objects_sparse_parallel,
     reconstruct_all_sharded_sparse,

@@ -304,6 +304,39 @@ def fuse_objects_sparse_parallel(
         jnp.asarray(origins, jnp.float32))
 
 
+def extract_meshes_sharded(vols, mesh: Mesh, axis: str = "data",
+                           max_blocks: int | None = None,
+                           max_cells: int | None = None):
+    """Object-axis sharded mesh extraction: triangle soups of B same-shape
+    BlockTSDFVolumes in ONE sharded dispatch — each device runs the vmapped
+    block-soup extraction (marching.extract_meshes_block's inner fn) over
+    its object shard, zero collectives (extraction is embarrassingly
+    object-parallel, like fuse_objects_sparse_parallel).
+
+    Returns (verts (B, T, 3, 3), cols (B, T, 3, 3), masks (B, T)) with
+    T = max_cells * 12, object-sharded over `axis`, bit-identical per
+    volume to marching.extract_mesh_soup_block. The volume list pads to a
+    device-count multiple by repeating the last volume; padded rows are
+    dropped on return. Capacities default to the max of the per-volume
+    auto configs (static — shared by every shard)."""
+    from otslam_tpu.kernels.marching import batched_extract_setup
+
+    n_obj = len(vols)
+    nd = mesh.shape[axis]
+    padded = list(vols) + [vols[-1]] * ((-n_obj) % nd)
+    stacks, one, _, _ = batched_extract_setup(padded, max_blocks, max_cells)
+
+    def shard_fn(t, w, c, cr, o):
+        return jax.vmap(one)(t, w, c, cr, o)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)))
+    verts, cols, masks = jax.jit(mapped)(*stacks)
+    return verts[:n_obj], cols[:n_obj], masks[:n_obj]
+
+
 def reconstruct_all_sharded_sparse(ds, cfg, mesh: Mesh, axis: str = "data",
                                    auto_origin: bool = True,
                                    max_active: int | None = None,

@@ -420,18 +420,14 @@ def auto_mesh_block_config(vol, blocks_cap: int = 32768,
     return mb, max_cells
 
 
-def extract_meshes_block(vols, max_blocks: int | None = None,
-                         max_cells: int | None = None):
-    """Batched triangle soups for B same-shape BlockTSDFVolumes in ONE
-    dispatch: (verts (B,T,3,3), cols (B,T,3,3), masks (B,T)).
-
-    Through the remote-chip tunnel a dispatch costs ~29 ms RTT, so
-    extracting a multi-object scene's volumes one call at a time is
-    dispatch-bound; vmapping the block extraction amortizes it the same
-    way perception fuses K ticks per dispatch. Volumes may have different
-    origins (vmapped as a traced arg — bit-identical to the single path);
-    grid shape / voxel size / truncation must match. Capacities default to
-    the max of the per-volume auto configs."""
+def batched_extract_setup(vols, max_blocks: int | None = None,
+                          max_cells: int | None = None):
+    """Shared setup for batched/sharded block extraction: validates that the
+    B volumes are same-shape, defaults capacities to the max of the
+    per-volume auto configs, and returns ``(stacks, one, max_blocks,
+    max_cells)`` where stacks = (tsdf (B,...), weight, color, created,
+    origins (B,3)) and ``one(t, w, c, cr, o)`` extracts a single volume's
+    soup (vmap/shard over the leading axis)."""
     from otslam_tpu.kernels.tsdf_block import BlockTSDFVolume
 
     v0 = vols[0]
@@ -445,18 +441,34 @@ def extract_meshes_block(vols, max_blocks: int | None = None,
         max_blocks = max_blocks or max(mb for mb, _ in cfgs)
         max_cells = max_cells or max(mc for _, mc in cfgs)
 
-    t = jnp.stack([v.tsdf for v in vols])
-    w = jnp.stack([v.weight for v in vols])
-    c = jnp.stack([v.color for v in vols])
-    cr = jnp.stack([v.created for v in vols])
-    origins = jnp.asarray([v.origin for v in vols], jnp.float32)
+    stacks = (jnp.stack([v.tsdf for v in vols]),
+              jnp.stack([v.weight for v in vols]),
+              jnp.stack([v.color for v in vols]),
+              jnp.stack([v.created for v in vols]),
+              jnp.asarray([v.origin for v in vols], jnp.float32))
 
     def one(t_, w_, c_, cr_, o_):
         vol = BlockTSDFVolume(t_, w_, c_, cr_, (0.0, 0.0, 0.0),
                               v0.voxel_size, v0.sdf_trunc, v0.grid_blocks)
         return extract_mesh_soup_block(vol, max_blocks, max_cells, origin=o_)
 
-    return jax.vmap(one)(t, w, c, cr, origins)
+    return stacks, one, max_blocks, max_cells
+
+
+def extract_meshes_block(vols, max_blocks: int | None = None,
+                         max_cells: int | None = None):
+    """Batched triangle soups for B same-shape BlockTSDFVolumes in ONE
+    dispatch: (verts (B,T,3,3), cols (B,T,3,3), masks (B,T)).
+
+    Through the remote-chip tunnel a dispatch costs ~29 ms RTT, so
+    extracting a multi-object scene's volumes one call at a time is
+    dispatch-bound; vmapping the block extraction amortizes it the same
+    way perception fuses K ticks per dispatch. Volumes may have different
+    origins (vmapped as a traced arg — bit-identical to the single path);
+    grid shape / voxel size / truncation must match. Capacities default to
+    the max of the per-volume auto configs."""
+    stacks, one, _, _ = batched_extract_setup(vols, max_blocks, max_cells)
+    return jax.vmap(one)(*stacks)
 
 
 def extract_mesh(vol, max_cells: int | None = None):
