@@ -167,6 +167,8 @@ def secondary_child() -> None:
         icp = bench_icp.measure()
         out["icp_iterations_per_sec"] = icp["value"]
         out["icp_unit"] = icp["unit"]
+        if "icp_config" in icp:
+            out["icp_config"] = icp["icp_config"]
     except Exception as e:
         out["icp_error"] = repr(e)[:120]
     try:

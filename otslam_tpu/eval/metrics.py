@@ -15,7 +15,7 @@ import numpy as np
 
 from otslam_tpu.config import EvalConfig
 from otslam_tpu.kernels.icp import icp_point_to_point
-from otslam_tpu.kernels.nn import chamfer_metrics
+from otslam_tpu.kernels.nn import auto_nn_window, chamfer_metrics
 
 
 @dataclass
@@ -34,10 +34,14 @@ def evaluate_map(map_points: np.ndarray, gt_points: np.ndarray,
     g = jnp.asarray(np.asarray(gt_points, np.float32))
     fitness, rmse = 1.0, 0.0
     if use_icp:
-        # align GT onto the map (refine_alignment_icp semantics)
+        # align GT onto the map (refine_alignment_icp semantics); windowed
+        # NN sized host-side — exact for inliers, fit-flag fallback else
+        window, axis = auto_nn_window(gt_points, map_points,
+                                      cfg.icp_threshold)
         res = icp_point_to_point(g, m, threshold=cfg.icp_threshold,
                                  max_iterations=min(cfg.icp_max_iterations, 50),
-                                 chunk=cfg.chamfer_tile)
+                                 chunk=cfg.chamfer_tile,
+                                 nn_window=window, nn_axis=axis)
         T = res.transformation
         g = g @ T[:3, :3].T + T[:3, 3]
         fitness, rmse = float(res.fitness), float(res.inlier_rmse)

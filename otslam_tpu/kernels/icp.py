@@ -20,7 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from otslam_tpu.kernels.nn import nn_distance
+from otslam_tpu.kernels.nn import auto_nn_window, nn_distance, \
+    nn_distance_radius
 
 
 class ICPResult(NamedTuple):
@@ -51,7 +52,23 @@ def _umeyama_rt(src_pts, dst_pts, weights):
     return R, t
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+def _sorted_for_window(src, dst, smask, dmask, T0, nn_axis: int):
+    """Sort dst (and src, by its initially-transformed coordinate) on the
+    window axis. ICP's outputs are permutation-invariant — correspondences
+    are gathered per-row and the solve reduces weighted sums — up to float
+    reassociation in those sums (~1e-7 relative)."""
+    od = jnp.argsort(dst[:, nn_axis])
+    dst = jnp.take(dst, od, axis=0)
+    dmask = None if dmask is None else jnp.take(dmask, od)
+    p0 = src @ T0[:3, :3].T + T0[:3, 3]
+    osrc = jnp.argsort(p0[:, nn_axis])
+    src = jnp.take(src, osrc, axis=0)
+    smask = jnp.take(smask, osrc)
+    return src, dst, smask, dmask, od
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "chunk", "nn_window",
+                                   "nn_axis", "nn_interpret"))
 def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
                        threshold: float = 0.05,
                        init: jnp.ndarray | None = None,
@@ -60,16 +77,39 @@ def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
                        max_iterations: int = 30,
                        relative_fitness: float = 1e-6,
                        relative_rmse: float = 1e-6,
-                       chunk: int = 4096) -> ICPResult:
-    """Point-to-point ICP aligning src onto dst."""
+                       chunk: int = 4096,
+                       nn_window: int = 0, nn_axis: int = 2,
+                       nn_interpret: bool = False) -> ICPResult:
+    """Point-to-point ICP aligning src onto dst.
+
+    nn_window > 0 enables the radius-limited windowed NN kernel (see
+    nn_distance_radius): both clouds are sorted once on coordinate nn_axis
+    and each iteration's correspondence search scans only ~nn_window dst
+    chunks per source tile. Exact for every inlier (the radius is the
+    inlier threshold, so out-of-radius correspondences carry zero weight
+    either way); size with auto_nn_window. A traced fit flag falls back to
+    the full scan whenever the window assumption breaks, so results never
+    depend on it."""
     n = src.shape[0]
     smask = jnp.ones(n, bool) if src_mask is None else src_mask
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
+    dmask = dst_mask
+    if nn_window > 0:
+        src, dst, smask, dmask, _ = _sorted_for_window(
+            src, dst, smask, dmask, T0, nn_axis)
+
+    def nn(p):
+        if nn_window > 0:
+            return nn_distance_radius(
+                p, dst, threshold, smask, dmask, window_chunks=nn_window,
+                axis=nn_axis, with_index=True, chunk=chunk,
+                interpret=nn_interpret)
+        return nn_distance(p, dst, smask, dmask, chunk=chunk,
+                           with_index=True)
 
     def metrics(T):
         p = src @ T[:3, :3].T + T[:3, 3]
-        d, idx = nn_distance(p, dst, smask, dst_mask, chunk=chunk,
-                             with_index=True)
+        d, idx = nn(p)
         inlier = smask & (d < threshold)
         nin = jnp.sum(inlier)
         fitness = nin / jnp.maximum(jnp.sum(smask), 1)
@@ -103,7 +143,8 @@ def icp_point_to_point(src: jnp.ndarray, dst: jnp.ndarray,
     return ICPResult(T, fit, rmse, it)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+@partial(jax.jit, static_argnames=("max_iterations", "chunk", "nn_window",
+                                   "nn_axis", "nn_interpret"))
 def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
                        dst_normals: jnp.ndarray,
                        threshold: float = 0.05,
@@ -113,16 +154,33 @@ def icp_point_to_plane(src: jnp.ndarray, dst: jnp.ndarray,
                        max_iterations: int = 30,
                        relative_fitness: float = 1e-6,
                        relative_rmse: float = 1e-6,
-                       chunk: int = 4096) -> ICPResult:
-    """Point-to-plane ICP (linearized small-angle 6x6 solve per iteration)."""
+                       chunk: int = 4096,
+                       nn_window: int = 0, nn_axis: int = 2,
+                       nn_interpret: bool = False) -> ICPResult:
+    """Point-to-plane ICP (linearized small-angle 6x6 solve per iteration).
+
+    nn_window: see icp_point_to_point — same windowed-NN contract."""
     n = src.shape[0]
     smask = jnp.ones(n, bool) if src_mask is None else src_mask
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
+    dmask = dst_mask
+    if nn_window > 0:
+        src, dst, smask, dmask, od = _sorted_for_window(
+            src, dst, smask, dmask, T0, nn_axis)
+        dst_normals = jnp.take(dst_normals, od, axis=0)
+
+    def nn(p):
+        if nn_window > 0:
+            return nn_distance_radius(
+                p, dst, threshold, smask, dmask, window_chunks=nn_window,
+                axis=nn_axis, with_index=True, chunk=chunk,
+                interpret=nn_interpret)
+        return nn_distance(p, dst, smask, dmask, chunk=chunk,
+                           with_index=True)
 
     def metrics(T):
         p = src @ T[:3, :3].T + T[:3, 3]
-        d, idx = nn_distance(p, dst, smask, dst_mask, chunk=chunk,
-                             with_index=True)
+        d, idx = nn(p)
         inlier = smask & (d < threshold)
         nin = jnp.sum(inlier)
         fitness = nin / jnp.maximum(jnp.sum(smask), 1)

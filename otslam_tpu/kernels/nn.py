@@ -90,19 +90,9 @@ def _make_nn_kernel(n_dst_chunks: int, dc: int):
     return kernel
 
 
-def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
-    """(best_d2, best_i) via the fused Pallas kernel. dstp is chunk-padded;
-    masked/padded dst columns carry BIG in their d2 terms."""
-    from jax.experimental import pallas as pl
-
-    n, m = src.shape[0], dstp.shape[0]
-    ts, dc = _SRC_TILE, _DST_CHUNK
-    mpad = -(-m // dc) * dc
-    dstp = jnp.pad(dstp, ((0, mpad - m), (0, 0)))
-    dmaskp = jnp.pad(dmaskp, (0, mpad - m))
-    npad = -(-n // ts) * ts
-    srcp = jnp.pad(src, ((0, npad - n), (0, 0)))
-
+def _pack_nn_operands(srcp, dstp, dmaskp):
+    """(lhs, rhs) K=24 split operands for the NN kernels (see
+    _make_nn_kernel). srcp/dstp must already be tile/chunk padded."""
     ah, am, al = _hilo3(srcp)
     s2 = jnp.sum(srcp * srcp, axis=-1, keepdims=True)
     s2h, s2m, s2l = _hilo3(s2)
@@ -121,6 +111,23 @@ def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
                            -2.0 * bh, -2.0 * bm,
                            oned, oned, oned, d2h, d2m, d2l],
                           axis=1).T  # (24, mpad)
+    return lhs, rhs
+
+
+def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
+    """(best_d2, best_i) via the fused Pallas kernel. dstp is chunk-padded;
+    masked/padded dst columns carry BIG in their d2 terms."""
+    from jax.experimental import pallas as pl
+
+    n, m = src.shape[0], dstp.shape[0]
+    ts, dc = _SRC_TILE, _DST_CHUNK
+    mpad = -(-m // dc) * dc
+    dstp = jnp.pad(dstp, ((0, mpad - m), (0, 0)))
+    dmaskp = jnp.pad(dmaskp, (0, mpad - m))
+    npad = -(-n // ts) * ts
+    srcp = jnp.pad(src, ((0, npad - n), (0, 0)))
+
+    lhs, rhs = _pack_nn_operands(srcp, dstp, dmaskp)
 
     kernel = _make_nn_kernel(mpad // dc, dc)
     bd, bi = pl.pallas_call(
@@ -135,6 +142,120 @@ def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
         interpret=interpret,
     )(lhs, rhs)
     return bd[:n, 0], bi[:n, 0]
+
+
+def _make_nn_kernel_windowed(n_win: int, dc: int):
+    """Radius-limited variant of _make_nn_kernel: the scalar-prefetched
+    per-tile chunk start restricts the scan to n_win contiguous dst chunks
+    around the tile's sort-axis span (dst sorted on one coordinate, src
+    tiles coherent on it). The full rhs stays VMEM-resident; each step
+    reads one dc-lane window at a 128-aligned dynamic start (dc is a
+    multiple of 128). MXU and VPU work both scale by n_win/nchunks."""
+    from jax.experimental import pallas as pl
+
+    def kernel(c0_ref, lhs_ref, rhs_ref, bd_out, bi_out):
+        i = pl.program_id(0)
+        c0 = c0_ref[i]
+        ts = lhs_ref.shape[0]
+        lhs = lhs_ref[...]
+        best_d = jnp.full((ts, 1), 3.0e38, jnp.float32)
+        best_i = jnp.zeros((ts, 1), jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ts, dc), 1)
+        for j in range(n_win):
+            start = pl.multiple_of((c0 + j) * dc, 128)
+            rhs = rhs_ref[:, pl.ds(start, dc)]
+            dist2 = jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)     # (ts, dc)
+            cmin = jnp.min(dist2, axis=1, keepdims=True)
+            cand = jnp.where(dist2 == cmin, iota + (c0 + j) * dc,
+                             jnp.int32(2**30))
+            cidx = jnp.min(cand, axis=1, keepdims=True)
+            take = cmin < best_d
+            best_d = jnp.where(take, cmin, best_d)
+            best_i = jnp.where(take, cidx, best_i)
+        bd_out[...] = best_d
+        bi_out[...] = best_i
+
+    return kernel
+
+
+def _nn_min_windowed(src, dst, dmask, radius, n_win: int, axis: int,
+                     interpret: bool):
+    """(best_d2, best_i, dstp) radius-limited NN via per-tile chunk windows,
+    with a traced fit flag routing ineligible inputs to the full kernel.
+
+    dst must be sorted ascending on coordinate `axis` (checked into the fit
+    flag — an unsorted dst falls back, it cannot corrupt results). For src
+    points whose true NN lies farther than `radius`, the returned distance
+    is only guaranteed to be >= the true distance (hence >= radius); points
+    with a neighbor within `radius` get the exact NN (window construction
+    covers every dst chunk overlapping the tile span +- radius)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m = src.shape[0], dst.shape[0]
+    ts, dc = _SRC_TILE, _DST_CHUNK
+    mpad = -(-m // dc) * dc
+    # pad with the LAST row (keeps the sort axis monotone so chunk ranges
+    # stay sorted); padded rows are masked off
+    dstp = jnp.concatenate(
+        [dst, jnp.broadcast_to(dst[-1:], (mpad - m, 3))], axis=0)
+    dmaskp = jnp.pad(dmask, (0, mpad - m))
+    npad = -(-n // ts) * ts
+    srcp = jnp.concatenate(
+        [src, jnp.broadcast_to(src[-1:], (npad - n, 3))], axis=0)
+
+    nchunks = mpad // dc
+    ntiles = npad // ts
+
+    sz = srcp[:, axis].reshape(ntiles, ts)
+    tile_lo = jnp.min(sz, axis=1) - radius
+    tile_hi = jnp.max(sz, axis=1) + radius
+    dz = dstp[:, axis]
+    chunk_lo = dz[::dc]                    # first row of each chunk
+    chunk_hi = dz[dc - 1::dc]              # last row of each chunk
+    c0 = jnp.searchsorted(chunk_hi, tile_lo, side="left")
+    c1 = jnp.searchsorted(chunk_lo, tile_hi, side="right")
+    sorted_ok = jnp.all(dz[1:] >= dz[:-1])
+    fit = sorted_ok & jnp.all(c1 - c0 <= n_win)
+    # clamping only widens coverage: the window slides left to stay in
+    # range, keeping [c0, c1) inside it whenever fit holds
+    c0 = jnp.clip(c0, 0, nchunks - n_win).astype(jnp.int32)
+
+    lhs, rhs = _pack_nn_operands(srcp, dstp, dmaskp)
+    out_shape = [jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((npad, 1), jnp.int32)]
+
+    def windowed():
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec((ts, 24), lambda i, *_: (i, 0)),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((ts, 1), lambda i, *_: (i, 0)),
+                       pl.BlockSpec((ts, 1), lambda i, *_: (i, 0))],
+        )
+        bd, bi = pl.pallas_call(
+            _make_nn_kernel_windowed(n_win, dc), grid_spec=grid_spec,
+            out_shape=out_shape, interpret=interpret)(c0, lhs, rhs)
+        return bd, bi
+
+    def full():
+        bd, bi = pl.pallas_call(
+            _make_nn_kernel(nchunks, dc),
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec((ts, 24), lambda i: (i, 0)),
+                      pl.BlockSpec((24, mpad), lambda i: (0, 0))],
+            out_specs=[pl.BlockSpec((ts, 1), lambda i: (i, 0)),
+                       pl.BlockSpec((ts, 1), lambda i: (i, 0))],
+            out_shape=out_shape,
+            interpret=interpret)(lhs, rhs)
+        return bd, bi
+
+    bd, bi = jax.lax.cond(fit, windowed, full)
+    return bd[:n, 0], bi[:n, 0], dstp
 
 
 def _nn_min_xla(src, dstp, dmaskp, chunk: int):
@@ -218,6 +339,84 @@ def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
     if with_index:
         return dists, jnp.where(smask, best_i, 0)
     return dists
+
+
+@partial(jax.jit, static_argnames=("window_chunks", "axis", "with_index",
+                                   "chunk", "interpret"))
+def nn_distance_radius(src: jnp.ndarray, dst: jnp.ndarray, radius,
+                       src_mask: jnp.ndarray | None = None,
+                       dst_mask: jnp.ndarray | None = None,
+                       window_chunks: int = 8, axis: int = 2,
+                       with_index: bool = False, chunk: int = 4096,
+                       interpret: bool | None = None):
+    """nn_distance exact only within `radius`: for src points whose true NN
+    is farther than radius, the returned distance is merely guaranteed
+    >= the true distance (hence >= radius) and the index is that of some
+    scanned point. This is the contract ICP needs — correspondences beyond
+    the inlier threshold carry zero weight — and it lets the kernel scan
+    only the ~window_chunks dst chunks near each source tile instead of all
+    of them (MXU/VPU work scales down by the same factor).
+
+    dst should be sorted ascending on coordinate `axis` and src at least
+    tile-coherent on it (e.g. also sorted); neither is required for
+    correctness — a traced fit flag falls back to the full kernel whenever
+    dst is unsorted or some tile's required window exceeds window_chunks.
+    Off-TPU this uses the exact XLA path (or interpret-mode Pallas when
+    interpret=True, for parity tests)."""
+    n, m = src.shape[0], dst.shape[0]
+    smask = jnp.ones(n, bool) if src_mask is None else src_mask
+    dmask = jnp.ones(m, bool) if dst_mask is None else dst_mask
+
+    on_tpu = jax.default_backend() != "cpu"
+    use_pallas = on_tpu or bool(interpret)
+    if not use_pallas or window_chunks * _DST_CHUNK >= m:
+        return nn_distance(src, dst, src_mask, dst_mask, chunk=chunk,
+                           with_index=with_index)
+
+    best_d, best_i, dstp = _nn_min_windowed(
+        src, dst, dmask, jnp.asarray(radius, jnp.float32), window_chunks,
+        axis, interpret=not on_tpu)
+
+    # exact recompute of the winning pair (same tail as nn_distance)
+    nearest = jnp.take(dstp, best_i, axis=0)
+    diff = src - nearest
+    exact = jnp.sum(diff * diff, axis=-1)
+    exact = jnp.where(best_d >= 0.5 * _BIG, best_d, exact)
+    dists = jnp.sqrt(jnp.maximum(jnp.where(smask, exact, 0.0), 0.0))
+    if with_index:
+        return dists, jnp.where(smask, best_i, 0)
+    return dists
+
+
+def auto_nn_window(src, dst, radius, axis: int | None = None,
+                   margin: int = 1) -> tuple[int, int]:
+    """Host-side (window_chunks, axis) sizing for nn_distance_radius /
+    icp(..., nn_window=...): picks the widest-spread dst coordinate and
+    computes the exact per-tile chunk-window requirement for these concrete
+    clouds (both sorted on that axis), plus a safety margin for the small
+    pose motion ICP applies between iterations. The traced fit flag still
+    guards the result, so an undersized window costs performance, never
+    correctness."""
+    import numpy as np
+
+    s = np.asarray(src, np.float32)
+    d = np.asarray(dst, np.float32)
+    if axis is None:
+        axis = int(np.argmax(d.max(axis=0) - d.min(axis=0)))
+    ts, dc = _SRC_TILE, _DST_CHUNK
+    n, m = s.shape[0], d.shape[0]
+    nchunks = -(-m // dc)
+    zs = np.sort(s[:, axis])
+    zs = np.pad(zs, (0, (-n) % ts), mode="edge").reshape(-1, ts)
+    zd = np.sort(d[:, axis])
+    zd = np.pad(zd, (0, (-m) % dc), mode="edge")
+    chunk_lo = zd[::dc]
+    chunk_hi = zd[dc - 1::dc]
+    r = float(radius)
+    c0 = np.searchsorted(chunk_hi, zs[:, 0] - r, side="left")
+    c1 = np.searchsorted(chunk_lo, zs[:, -1] + r, side="right")
+    need = int((c1 - c0).max()) if len(c0) else nchunks
+    return min(need + margin, nchunks), axis
 
 
 @partial(jax.jit, static_argnames=("chunk",))

@@ -2,9 +2,11 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from otslam_tpu.core.se3 import euler_xyz_to_matrix, se3
-from otslam_tpu.kernels.nn import nn_distance, chamfer_metrics
+from otslam_tpu.kernels.nn import (auto_nn_window, chamfer_metrics,
+                                   nn_distance, nn_distance_radius)
 from otslam_tpu.kernels.icp import icp_point_to_point, icp_point_to_plane
 
 
@@ -103,3 +105,126 @@ class TestNNPallas:
         none = jnp.zeros(128, bool)
         d3 = nn_distance(src, dst, dst_mask=none, impl="pallas")
         assert float(np.asarray(d3).min()) > 1e18
+
+
+class TestNNWindowed:
+    """Radius-limited windowed NN kernel (nn_distance_radius, interpret
+    mode): exact for every point with a neighbor within the radius, a
+    lower-bounded estimate beyond it, and traced-fit fallback to the full
+    kernel whenever the window assumption breaks."""
+
+    RADIUS = 0.3
+
+    def _clouds(self, rng, n=4096, m=16384, axis=2):
+        src = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        dst = rng.uniform(-2, 2, (m, 3)).astype(np.float32)
+        return (src[np.argsort(src[:, axis])],
+                dst[np.argsort(dst[:, axis])])
+
+    def test_exact_within_radius_lower_bound_beyond(self, rng):
+        src, dst = self._clouds(rng)
+        W, axis = auto_nn_window(src, dst, self.RADIUS, axis=2)
+        assert W < -(-dst.shape[0] // 1024), "workload must exercise windows"
+        d_ref, i_ref = nn_distance(jnp.asarray(src), jnp.asarray(dst),
+                                   with_index=True)
+        d_win, i_win = nn_distance_radius(
+            jnp.asarray(src), jnp.asarray(dst), self.RADIUS,
+            window_chunks=W, axis=axis, with_index=True, interpret=True)
+        d_ref, d_win = np.asarray(d_ref), np.asarray(d_win)
+        inl = d_ref < self.RADIUS
+        assert inl.any()
+        np.testing.assert_allclose(d_win[inl], d_ref[inl], atol=1e-6)
+        out = ~inl
+        assert (d_win[out] >= d_ref[out] - 1e-6).all()
+        assert (d_win[out] >= self.RADIUS - 1e-6).all()
+
+    def test_fallback_on_unsorted_and_undersized(self, rng):
+        src, dst = self._clouds(rng, n=1024, m=4096)
+        d_ref = np.asarray(nn_distance(jnp.asarray(src), jnp.asarray(dst)))
+        # unsorted dst: fit flag must route to the full kernel (exact
+        # everywhere, not just within the radius)
+        perm = rng.permutation(dst.shape[0])
+        d_ref_p = np.asarray(nn_distance(jnp.asarray(src),
+                                         jnp.asarray(dst[perm])))
+        d_u = np.asarray(nn_distance_radius(
+            jnp.asarray(src), jnp.asarray(dst[perm]), self.RADIUS,
+            window_chunks=2, axis=2, interpret=True))
+        np.testing.assert_allclose(d_u, d_ref_p, atol=1e-6)
+        # sorted but window too small for the tile spans: same fallback
+        d_s = np.asarray(nn_distance_radius(
+            jnp.asarray(src), jnp.asarray(dst), self.RADIUS,
+            window_chunks=1, axis=2, interpret=True))
+        np.testing.assert_allclose(d_s, d_ref, atol=1e-6)
+
+    def test_masks(self, rng):
+        src, dst = self._clouds(rng, n=2048, m=8192)
+        sm = rng.random(src.shape[0]) > 0.2
+        dm = rng.random(dst.shape[0]) > 0.2
+        W, axis = auto_nn_window(src, dst, self.RADIUS, axis=2)
+        d_ref = np.asarray(nn_distance(jnp.asarray(src), jnp.asarray(dst),
+                                       jnp.asarray(sm), jnp.asarray(dm)))
+        d_win = np.asarray(nn_distance_radius(
+            jnp.asarray(src), jnp.asarray(dst), self.RADIUS,
+            jnp.asarray(sm), jnp.asarray(dm), window_chunks=W, axis=axis,
+            interpret=True))
+        inl = (d_ref < self.RADIUS) & sm
+        np.testing.assert_allclose(d_win[inl], d_ref[inl], atol=1e-6)
+        assert (d_win[~sm] == 0).all()
+
+    def test_small_dst_uses_exact_path(self, rng):
+        # guard: window covering the whole cloud short-circuits to the
+        # plain exact kernel
+        src, dst = self._clouds(rng, n=256, m=1500)
+        d_ref = np.asarray(nn_distance(jnp.asarray(src), jnp.asarray(dst)))
+        d_win = np.asarray(nn_distance_radius(
+            jnp.asarray(src), jnp.asarray(dst), self.RADIUS,
+            window_chunks=8, axis=2, interpret=True))
+        np.testing.assert_allclose(d_win, d_ref, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestICPWindowed:
+    """ICP with the windowed NN enabled matches the full-scan ICP."""
+
+    def test_point_to_point_parity(self, rng):
+        n = 12000
+        src = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        th = 0.02
+        T_true = se3(euler_xyz_to_matrix(0.0, 0.0, th), [0.01, -0.02, 0.005])
+        dst = (src @ T_true[:3, :3].T + T_true[:3, 3]).astype(np.float32)
+        W, axis = auto_nn_window(src, dst, 0.3)
+        assert W < -(-n // 1024), "workload must exercise windows"
+        kw = dict(threshold=0.3, max_iterations=12, relative_fitness=0.0,
+                  relative_rmse=0.0)
+        ref = icp_point_to_point(jnp.asarray(src), jnp.asarray(dst), **kw)
+        win = icp_point_to_point(jnp.asarray(src), jnp.asarray(dst),
+                                 nn_window=W, nn_axis=axis,
+                                 nn_interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(win.transformation),
+                                   np.asarray(ref.transformation), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(win.transformation), T_true,
+                                   atol=2e-3)
+        assert float(win.fitness) > 0.99
+
+    def test_point_to_plane_parity(self, rng):
+        n_per = 4000
+        pts, nrms = [], []
+        for axis in range(3):
+            p = rng.uniform(-1, 1, (n_per, 3))
+            p[:, axis] = 0.0
+            nr = np.zeros((n_per, 3))
+            nr[:, axis] = 1.0
+            pts.append(p)
+            nrms.append(nr)
+        dst = np.concatenate(pts).astype(np.float32)
+        normals = np.concatenate(nrms).astype(np.float32)
+        T_true = se3(euler_xyz_to_matrix(0.02, -0.01, 0.03),
+                     [0.02, 0.01, -0.03])
+        src = ((dst - T_true[:3, 3]) @ T_true[:3, :3]).astype(np.float32)
+        W, ax = auto_nn_window(src, dst, 0.3)
+        res = icp_point_to_plane(jnp.asarray(src), jnp.asarray(dst),
+                                 jnp.asarray(normals), threshold=0.3,
+                                 max_iterations=20, nn_window=W, nn_axis=ax,
+                                 nn_interpret=True)
+        np.testing.assert_allclose(np.asarray(res.transformation), T_true,
+                                   atol=5e-3)
