@@ -389,14 +389,17 @@ def nn_distance_radius(src: jnp.ndarray, dst: jnp.ndarray, radius,
 
 
 def auto_nn_window(src, dst, radius, axis: int | None = None,
-                   margin: int = 1) -> tuple[int, int]:
+                   margin: int = 1, round_to: int = 1) -> tuple[int, int]:
     """Host-side (window_chunks, axis) sizing for nn_distance_radius /
     icp(..., nn_window=...): picks the widest-spread dst coordinate and
     computes the exact per-tile chunk-window requirement for these concrete
     clouds (both sorted on that axis), plus a safety margin for the small
     pose motion ICP applies between iterations. The traced fit flag still
     guards the result, so an undersized window costs performance, never
-    correctness."""
+    correctness. round_to > 1 rounds the window up to that multiple —
+    callers issuing many similar ICP solves (frame chains, localization
+    ticks) use it to collapse near-identical windows onto one jit cache
+    entry (nn_window is a static argument)."""
     import numpy as np
 
     s = np.asarray(src, np.float32)
@@ -416,7 +419,8 @@ def auto_nn_window(src, dst, radius, axis: int | None = None,
     c0 = np.searchsorted(chunk_hi, zs[:, 0] - r, side="left")
     c1 = np.searchsorted(chunk_lo, zs[:, -1] + r, side="right")
     need = int((c1 - c0).max()) if len(c0) else nchunks
-    return min(need + margin, nchunks), axis
+    need = -(-(need + margin) // round_to) * round_to
+    return min(need, nchunks), axis
 
 
 @partial(jax.jit, static_argnames=("chunk",))

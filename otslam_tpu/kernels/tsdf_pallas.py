@@ -340,12 +340,25 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg, cimgs,
         jax.ShapeDtypeStruct(w_rows.shape, w_rows.dtype),
         jax.ShapeDtypeStruct(col_rows.shape, col_rows.dtype),
     ]
+    # the whole-array VMEM image operands (dhi/dlo/cimg/cimgs) can exceed
+    # the TPU compiler's default 16 MiB scoped-VMEM budget (VGA at FPC=8 is
+    # ~17.8 MiB of images; whether the default assignment happens to fit
+    # depends on loop structure and A — multi-chunk batches at large
+    # max_active OOM'd at compile). Raise the per-kernel limit to the
+    # actual operand footprint plus room for the in-kernel temporaries and
+    # double-buffered row blocks; v5e has 128 MiB of VMEM per core.
+    img_bytes = sum(2 * int(np.prod(a.shape))
+                    for a in (dhi, dlo, cimg, cimgs))
+    params = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=max(16, (img_bytes >> 20) + 8) << 20)}
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         input_output_aliases={7: 0, 8: 1, 9: 2},
         interpret=interpret,
+        **params,
     )(ids, act, pvf, pvh, puf, pcs, evec, tsdf_rows, w_rows, col_rows,
       dhi, dlo, cimg, cimgs)
 

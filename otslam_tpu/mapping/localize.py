@@ -19,6 +19,7 @@ import numpy as np
 
 from otslam_tpu.core.grid import OccupancyGrid2D
 from otslam_tpu.kernels.icp import icp_point_to_point
+from otslam_tpu.kernels.nn import auto_nn_window
 
 
 @dataclass
@@ -40,9 +41,9 @@ class ScanLocalizer:
             sel = np.random.default_rng(0).choice(len(pts2), max_map_points,
                                                   replace=False)
             pts2 = pts2[sel]
-        self._map3 = jnp.asarray(
-            np.concatenate([pts2, np.zeros((len(pts2), 1))], -1)
-            .astype(np.float32))
+        self._map_np = np.concatenate(
+            [pts2, np.zeros((len(pts2), 1))], -1).astype(np.float32)
+        self._map3 = jnp.asarray(self._map_np)
         self.threshold = threshold
 
     def localize(self, ranges, angles, prior_pose,
@@ -61,10 +62,15 @@ class ScanLocalizer:
         ly = r[ok] * np.sin(a[ok])
         wx = x0 + lx * c - ly * s
         wy = y0 + lx * s + ly * c
-        src = jnp.asarray(np.stack([wx, wy, np.zeros_like(wx)], -1)
-                          .astype(np.float32))
-        res = icp_point_to_point(src, self._map3, threshold=self.threshold,
-                                 max_iterations=max_iterations, chunk=2048)
+        src = np.stack([wx, wy, np.zeros_like(wx)], -1).astype(np.float32)
+        # windowed correspondence search against the (fixed) map cloud;
+        # round_to=4 keeps repeated localization ticks on one jit entry
+        nn_w, nn_ax = auto_nn_window(src, self._map_np, self.threshold,
+                                     round_to=4)
+        res = icp_point_to_point(jnp.asarray(src), self._map3,
+                                 threshold=self.threshold,
+                                 max_iterations=max_iterations, chunk=2048,
+                                 nn_window=nn_w, nn_axis=nn_ax)
         T = np.asarray(res.transformation)
         dyaw = float(np.arctan2(T[1, 0], T[0, 0]))
         # corrected pose: T acts on map-frame points, so compose planar parts

@@ -24,6 +24,7 @@ from otslam_tpu.config import ReconstructionConfig
 from otslam_tpu.core.camera import PinholeIntrinsics
 from otslam_tpu.core.se3 import invert_se3
 from otslam_tpu.kernels.icp import icp_point_to_plane, icp_point_to_point
+from otslam_tpu.kernels.nn import auto_nn_window
 from otslam_tpu.kernels.pose_graph import optimize_pose_graph
 from otslam_tpu.kernels.track import track_frame_to_tsdf
 from otslam_tpu.kernels.tsdf_block import (
@@ -89,6 +90,15 @@ def _frame_points_normals(depth, intr: PinholeIntrinsics, stride: int = 4,
     return (P.reshape(-1, 3), n.reshape(-1, 3), valid.reshape(-1))
 
 
+def _pair_nn_window(pts_a, pts_b, radius) -> tuple[int, int]:
+    """(nn_window, nn_axis) for frame-pair ICP, sized once per chain from
+    concrete clouds (invalid rows included — they sort into the window too)
+    and rounded to a multiple of 2 so successive pairs share one jit cache
+    entry. Undersizing only triggers the kernel's full-scan fallback."""
+    return auto_nn_window(np.asarray(pts_a), np.asarray(pts_b), radius,
+                          round_to=2)
+
+
 def refine_trajectory(depths, colors, extrinsics, intr: PinholeIntrinsics,
                       cfg: ReconstructionConfig, max_active: int = 2048,
                       thresholds=(0.1, 0.05, 0.02), stride: int = 4,
@@ -114,9 +124,15 @@ def refine_trajectory(depths, colors, extrinsics, intr: PinholeIntrinsics,
 
     prev_pts, prev_nrm, prev_valid = _frame_points_normals(
         jnp.asarray(depths[0]), intr, stride)
+    nn_w, nn_ax = 0, 2
     for i in range(1, n):
         cur_pts, cur_nrm, cur_valid = _frame_points_normals(
             jnp.asarray(depths[i]), intr, stride)
+        if i == 1:
+            # one window for the whole chain (consecutive frames share
+            # geometry scale); sized at the widest annealing threshold so
+            # every stage's radius is covered
+            nn_w, nn_ax = _pair_nn_window(cur_pts, prev_pts, max(thresholds))
         # prior relative transform camera_i -> camera_{i-1}
         E_prev = np.asarray(extrinsics[i - 1], np.float64)
         E_cur = np.asarray(extrinsics[i], np.float64)
@@ -129,7 +145,8 @@ def refine_trajectory(depths, colors, extrinsics, intr: PinholeIntrinsics,
             res = icp_point_to_plane(src, prev_pts, prev_nrm, threshold=thr,
                                      init=T_acc,
                                      src_mask=cur_valid, dst_mask=prev_valid,
-                                     max_iterations=15, chunk=2048)
+                                     max_iterations=15, chunk=2048,
+                                     nn_window=nn_w, nn_axis=nn_ax)
             T_acc = res.transformation
         dT = np.asarray(T_acc, np.float64)
         # trust region around the odometry prior: low-overlap pairs can score
@@ -223,12 +240,14 @@ def _register_pair(pts_i, nrm_i, valid_i, pts_j, valid_j, prior_rel,
     """
     src = pts_j @ jnp.asarray(prior_rel[:3, :3].T, jnp.float32) \
         + jnp.asarray(prior_rel[:3, 3], jnp.float32)
+    nn_w, nn_ax = _pair_nn_window(src, pts_i, max(thresholds))
     T_acc = jnp.eye(4, dtype=jnp.float32)
     res = None
     for thr in thresholds:
         res = icp_point_to_plane(src, pts_i, nrm_i, threshold=thr, init=T_acc,
                                  src_mask=valid_j, dst_mask=valid_i,
-                                 max_iterations=15, chunk=2048)
+                                 max_iterations=15, chunk=2048,
+                                 nn_window=nn_w, nn_axis=nn_ax)
         T_acc = res.transformation
     M = np.asarray(T_acc, np.float64) @ np.asarray(prior_rel, np.float64)
     return M, float(res.fitness), float(res.inlier_rmse)
