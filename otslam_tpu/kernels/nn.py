@@ -388,8 +388,26 @@ def nn_distance_radius(src: jnp.ndarray, dst: jnp.ndarray, radius,
     return dists
 
 
+def nn_window_bounds(dst, axis: int | None = None):
+    """Host-side dst precompute for auto_nn_window: (axis, chunk_lo,
+    chunk_hi, nchunks) of the sorted dst's per-chunk sort-coordinate
+    bounds. Callers registering many scans against one FIXED cloud (e.g.
+    ScanLocalizer) compute this once and pass it as dst_bounds."""
+    import numpy as np
+
+    d = np.asarray(dst, np.float32)
+    if axis is None:
+        axis = int(np.argmax(d.max(axis=0) - d.min(axis=0)))
+    dc = _DST_CHUNK
+    m = d.shape[0]
+    zd = np.sort(d[:, axis])
+    zd = np.pad(zd, (0, (-m) % dc), mode="edge")
+    return axis, zd[::dc], zd[dc - 1::dc], -(-m // dc)
+
+
 def auto_nn_window(src, dst, radius, axis: int | None = None,
-                   margin: int = 1, round_to: int = 1) -> tuple[int, int]:
+                   margin: int = 1, round_to: int = 1,
+                   dst_bounds=None) -> tuple[int, int]:
     """Host-side (window_chunks, axis) sizing for nn_distance_radius /
     icp(..., nn_window=...): picks the widest-spread dst coordinate and
     computes the exact per-tile chunk-window requirement for these concrete
@@ -399,22 +417,19 @@ def auto_nn_window(src, dst, radius, axis: int | None = None,
     correctness. round_to > 1 rounds the window up to that multiple —
     callers issuing many similar ICP solves (frame chains, localization
     ticks) use it to collapse near-identical windows onto one jit cache
-    entry (nn_window is a static argument)."""
+    entry (nn_window is a static argument). dst_bounds: precomputed
+    nn_window_bounds(dst) for fixed target clouds (skips re-sorting dst
+    per call); both clouds must be non-empty."""
     import numpy as np
 
     s = np.asarray(src, np.float32)
-    d = np.asarray(dst, np.float32)
-    if axis is None:
-        axis = int(np.argmax(d.max(axis=0) - d.min(axis=0)))
-    ts, dc = _SRC_TILE, _DST_CHUNK
-    n, m = s.shape[0], d.shape[0]
-    nchunks = -(-m // dc)
+    if dst_bounds is None:
+        dst_bounds = nn_window_bounds(dst, axis)
+    axis, chunk_lo, chunk_hi, nchunks = dst_bounds
+    ts = _SRC_TILE
+    n = s.shape[0]
     zs = np.sort(s[:, axis])
     zs = np.pad(zs, (0, (-n) % ts), mode="edge").reshape(-1, ts)
-    zd = np.sort(d[:, axis])
-    zd = np.pad(zd, (0, (-m) % dc), mode="edge")
-    chunk_lo = zd[::dc]
-    chunk_hi = zd[dc - 1::dc]
     r = float(radius)
     c0 = np.searchsorted(chunk_hi, zs[:, 0] - r, side="left")
     c1 = np.searchsorted(chunk_lo, zs[:, -1] + r, side="right")

@@ -347,7 +347,7 @@ def _update_active_blocks(tsdf_rows, w_rows, col_rows, dhi, dlo, cimg, cimgs,
     # max_active OOM'd at compile). Raise the per-kernel limit to the
     # actual operand footprint plus room for the in-kernel temporaries and
     # double-buffered row blocks; v5e has 128 MiB of VMEM per core.
-    img_bytes = sum(2 * int(np.prod(a.shape))
+    img_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                     for a in (dhi, dlo, cimg, cimgs))
     params = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(

@@ -19,7 +19,7 @@ import numpy as np
 
 from otslam_tpu.core.grid import OccupancyGrid2D
 from otslam_tpu.kernels.icp import icp_point_to_point
-from otslam_tpu.kernels.nn import auto_nn_window
+from otslam_tpu.kernels.nn import auto_nn_window, nn_window_bounds
 
 
 @dataclass
@@ -44,6 +44,11 @@ class ScanLocalizer:
         self._map_np = np.concatenate(
             [pts2, np.zeros((len(pts2), 1))], -1).astype(np.float32)
         self._map3 = jnp.asarray(self._map_np)
+        # dst side of the window sizing is map-invariant: sort + chunk
+        # bounds once here, only the cheap src-side searchsorted runs per
+        # localize() call (nn.nn_window_bounds)
+        self._map_bounds = (nn_window_bounds(self._map_np)
+                            if len(self._map_np) else None)
         self.threshold = threshold
 
     def localize(self, ranges, angles, prior_pose,
@@ -51,24 +56,36 @@ class ScanLocalizer:
         """Refine (x, y, yaw) so the scan aligns with the map.
 
         prior_pose: odometry estimate (x, y, yaw); the scan transforms into
-        the map frame with it, ICP solves the residual correction.
+        the map frame with it, ICP solves the residual correction. An empty
+        map or a scan with no finite returns yields the prior unchanged at
+        fitness 0 (the degraded-result contract a perception loop needs —
+        never an exception).
         """
         r = np.asarray(ranges)
         a = np.asarray(angles)
         ok = np.isfinite(r) & (r > 0)
         x0, y0, yaw0 = (float(v) for v in prior_pose)
+        if self._map_bounds is None or not ok.any():
+            return LocalizationResult(x0, y0, yaw0, 0.0, float("inf"))
         c, s = np.cos(yaw0), np.sin(yaw0)
-        lx = r[ok] * np.cos(a[ok])
-        ly = r[ok] * np.sin(a[ok])
+        lx = np.where(ok, r, 0.0) * np.cos(a)
+        ly = np.where(ok, r, 0.0) * np.sin(a)
         wx = x0 + lx * c - ly * s
         wy = y0 + lx * s + ly * c
         src = np.stack([wx, wy, np.zeros_like(wx)], -1).astype(np.float32)
+        # fixed-shape scan cloud: invalid beams keep their slot (masked),
+        # parked at a valid return's position so they never widen the NN
+        # window or break a tile's sort coherence — beam count is static
+        # per scanner, so every tick shares one jit cache entry
+        first = int(np.argmax(ok))
+        src[~ok] = src[first]
         # windowed correspondence search against the (fixed) map cloud;
-        # round_to=4 keeps repeated localization ticks on one jit entry
+        # round_to=4 collapses near-identical windows onto one jit entry
         nn_w, nn_ax = auto_nn_window(src, self._map_np, self.threshold,
-                                     round_to=4)
+                                     round_to=4, dst_bounds=self._map_bounds)
         res = icp_point_to_point(jnp.asarray(src), self._map3,
                                  threshold=self.threshold,
+                                 src_mask=jnp.asarray(ok),
                                  max_iterations=max_iterations, chunk=2048,
                                  nn_window=nn_w, nn_axis=nn_ax)
         T = np.asarray(res.transformation)

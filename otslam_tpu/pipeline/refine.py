@@ -124,15 +124,15 @@ def refine_trajectory(depths, colors, extrinsics, intr: PinholeIntrinsics,
 
     prev_pts, prev_nrm, prev_valid = _frame_points_normals(
         jnp.asarray(depths[0]), intr, stride)
-    nn_w, nn_ax = 0, 2
     for i in range(1, n):
         cur_pts, cur_nrm, cur_valid = _frame_points_normals(
             jnp.asarray(depths[i]), intr, stride)
-        if i == 1:
-            # one window for the whole chain (consecutive frames share
-            # geometry scale); sized at the widest annealing threshold so
-            # every stage's radius is covered
-            nn_w, nn_ax = _pair_nn_window(cur_pts, prev_pts, max(thresholds))
+        # per-pair window, sized at the widest annealing threshold so
+        # every stage's radius is covered (round_to=2 collapses the
+        # near-identical windows of consecutive pairs onto one jit entry;
+        # the host fetch is one small transfer per pair, in a loop that
+        # already syncs per pair for fitness/rmse)
+        nn_w, nn_ax = _pair_nn_window(cur_pts, prev_pts, max(thresholds))
         # prior relative transform camera_i -> camera_{i-1}
         E_prev = np.asarray(extrinsics[i - 1], np.float64)
         E_cur = np.asarray(extrinsics[i], np.float64)

@@ -39,3 +39,40 @@ class TestScanLocalizer:
         res = loc.localize(scan, angles(), true)
         assert np.hypot(res.x - true[0], res.y - true[1]) < 0.03
         assert abs(res.yaw - true[2]) < 0.015
+
+
+class TestScanLocalizerDegraded:
+    """Degraded-input contract: perception loops need a prior-unchanged
+    result, never an exception (localize.py docstring)."""
+
+    def test_empty_map_returns_prior(self):
+        from otslam_tpu.core.grid import OccupancyGrid2D
+        blank = OccupancyGrid2D(np.full((64, 64), 205, np.uint8),
+                                resolution=0.05, origin=(0.0, 0.0))
+        loc = ScanLocalizer(blank)
+        res = loc.localize(np.full(360, 2.0, np.float32), angles(),
+                           (1.0, -2.0, 0.3))
+        assert (res.x, res.y, res.yaw) == (1.0, -2.0, 0.3)
+        assert res.fitness == 0.0
+
+    def test_no_finite_returns_returns_prior(self):
+        scene = cardboard_room()
+        loc = ScanLocalizer(scene.occupancy_grid(0.05))
+        res = loc.localize(np.full(360, np.inf, np.float32), angles(),
+                           (0.5, 0.5, 0.0))
+        assert (res.x, res.y, res.yaw) == (0.5, 0.5, 0.0)
+        assert res.fitness == 0.0
+
+    def test_partial_infinite_beams_still_localize(self):
+        # masked invalid beams keep the scan cloud's static shape and must
+        # not corrupt the solve
+        scene = cardboard_room()
+        loc = ScanLocalizer(scene.occupancy_grid(0.05))
+        true = (0.6, -1.1, 0.8)
+        scan = np.array(render_lidar(scene, *true, angles(),
+                                     LIDAR.range_min, LIDAR.range_max))
+        scan[::3] = np.inf                  # a third of the beams drop out
+        prior = (true[0] + 0.1, true[1] - 0.06, true[2] + 0.05)
+        res = loc.localize(scan, angles(), prior)
+        assert np.hypot(res.x - true[0], res.y - true[1]) < 0.05
+        assert abs(res.yaw - true[2]) < 0.03
