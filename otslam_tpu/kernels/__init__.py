@@ -23,7 +23,13 @@ from otslam_tpu.kernels.tsdf_block import (  # noqa: F401
 )
 from otslam_tpu.kernels.marching import extract_mesh, extract_mesh_soup  # noqa: F401
 from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas  # noqa: F401
-from otslam_tpu.kernels.nn import nn_distance, chamfer_metrics  # noqa: F401
+from otslam_tpu.kernels.nn import (  # noqa: F401
+    nn_distance,
+    nn_distance_radius,
+    auto_nn_window,
+    nn_window_bounds,
+    chamfer_metrics,
+)
 from otslam_tpu.kernels.icp import (  # noqa: F401
     icp_point_to_point,
     icp_point_to_plane,
