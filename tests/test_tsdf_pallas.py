@@ -722,3 +722,60 @@ class TestColorWindowSkew:
         # constant-128 color field: any clipped frame contribution shows
         # up as a tens-of-units running-mean drop; exact selection is 0
         assert np.abs(cs[:, m] - cp[:, m]).max() < 1.0
+
+
+@pytest.mark.slow
+class TestFuzzParity:
+    """Seeded random-geometry fuzz of the sparse-vs-Pallas contract: smooth
+    random depth fields with invalid holes, random small camera motion,
+    frame counts that exercise the FPC chunk padding (n % FPC != 0). The
+    fixed-scene tests above pin the contract at one geometry; this guards
+    the schedule/windowing corners (straddling spans, multi-chunk unions)
+    at arbitrary ones."""
+
+    def _random_batch(self, seed):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(3, 11))          # crosses the FPC=8 boundary
+        H, W = 48, 64
+        us, vs = np.meshgrid(np.arange(W), np.arange(H))
+        depths, exts = [], []
+        for i in range(n):
+            fx, fy = r.uniform(1.0, 4.0, 2)
+            ph = r.uniform(0, 2 * np.pi, 2)
+            d = (0.5 + 0.08 * np.sin(2 * np.pi * fx * us / W + ph[0])
+                 * np.cos(2 * np.pi * fy * vs / H + ph[1])).astype(np.float32)
+            # invalid holes (sensor dropouts)
+            hole = r.random((H, W)) < 0.03
+            d[hole] = 0.0
+            depths.append(d)
+            th = r.uniform(-0.12, 0.12)
+            ax = r.integers(0, 3)
+            c, s = np.cos(th), np.sin(th)
+            R = np.eye(3, dtype=np.float32)
+            i0, i1 = [k for k in range(3) if k != ax]
+            R[i0, i0] = c; R[i1, i1] = c; R[i0, i1] = -s; R[i1, i0] = s
+            E = np.eye(4, dtype=np.float32)
+            E[:3, :3] = R
+            E[:3, 3] = r.uniform(-0.03, 0.03, 3).astype(np.float32)
+            exts.append(E)
+        colors = r.uniform(0, 255, (n, H, W, 3)).astype(np.float32)
+        return (jnp.asarray(np.stack(depths)), jnp.asarray(colors),
+                jnp.asarray(np.stack(exts)))
+
+    @pytest.mark.parametrize("seed", [11, 23, 47])
+    def test_sparse_vs_pallas(self, seed):
+        depths, colors, exts = self._random_batch(seed)
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=256)
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=256,
+                                    interpret=True)
+        ws, wp = np.asarray(s.weight), np.asarray(p.weight)
+        ts, tp = np.asarray(s.tsdf), np.asarray(p.tsdf)
+        observed = (ws > 0) | (wp > 0)
+        assert observed.sum() > 1000, "fuzz scene must integrate real volume"
+        frac_diff = (ws != wp).sum() / max(observed.sum(), 1)
+        assert frac_diff < 0.015
+        same = (ws == wp) & (ws > 0)
+        np.testing.assert_allclose(tp[same], ts[same], atol=1e-3)
+        assert np.array_equal(np.asarray(s.created), np.asarray(p.created))
