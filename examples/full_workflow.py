@@ -21,9 +21,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
+# The bare JAX_PLATFORMS env var is unreliable on some images (platform
+# plugins can override it) — apply the request explicitly before any
+# device query, like the CLI's --platform flag does.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 if jax.default_backend() != "cpu":
     print("note: interactive missions are dispatch-bound on remote TPUs; "
-          "set JAX_PLATFORMS=cpu for speed")
+          "set JAX_PLATFORMS=cpu for speed", flush=True)
 
 from otslam_tpu.config import (CameraConfig, LidarConfig, OTSLAMConfig,
                                ReconstructionConfig, TSDFConfig, TrackerConfig)
