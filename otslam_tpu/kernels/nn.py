@@ -114,6 +114,26 @@ def _pack_nn_operands(srcp, dstp, dmaskp):
     return lhs, rhs
 
 
+# the (24, mpad) f32 rhs lives whole in VMEM: beyond this many dst rows
+# (~96 B/row; ~1M rows ≈ 100 MB of v5e's 128 MB) the kernel cannot compile
+# and nn_distance routes to the XLA scan instead
+_PALLAS_MAX_DST = 1_048_576
+
+
+def _nn_vmem_params(mpad: int, interpret: bool) -> dict:
+    """compiler_params sized to the VMEM-resident rhs: the TPU compiler's
+    default 16 MiB scoped budget rejects clouds past ~170k dst rows at
+    compile time (same failure class as the fusion kernel's image
+    operands, see tsdf_pallas._update_active_blocks)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rhs_bytes = 24 * mpad * 4
+    if interpret or rhs_bytes <= 12 << 20:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=rhs_bytes + (8 << 20))}
+
+
 def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
     """(best_d2, best_i) via the fused Pallas kernel. dstp is chunk-padded;
     masked/padded dst columns carry BIG in their d2 terms."""
@@ -140,6 +160,7 @@ def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
         out_shape=[jax.ShapeDtypeStruct((npad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((npad, 1), jnp.int32)],
         interpret=interpret,
+        **_nn_vmem_params(mpad, interpret),
     )(lhs, rhs)
     return bd[:n, 0], bi[:n, 0]
 
@@ -239,7 +260,8 @@ def _nn_min_windowed(src, dst, dmask, radius, n_win: int, axis: int,
         )
         bd, bi = pl.pallas_call(
             _make_nn_kernel_windowed(n_win, dc), grid_spec=grid_spec,
-            out_shape=out_shape, interpret=interpret)(c0, lhs, rhs)
+            out_shape=out_shape, interpret=interpret,
+            **_nn_vmem_params(mpad, interpret))(c0, lhs, rhs)
         return bd, bi
 
     def full():
@@ -250,8 +272,8 @@ def _nn_min_windowed(src, dst, dmask, radius, n_win: int, axis: int,
                       pl.BlockSpec((24, mpad), lambda i: (0, 0))],
             out_specs=[pl.BlockSpec((ts, 1), lambda i: (i, 0)),
                        pl.BlockSpec((ts, 1), lambda i: (i, 0))],
-            out_shape=out_shape,
-            interpret=interpret)(lhs, rhs)
+            out_shape=out_shape, interpret=interpret,
+            **_nn_vmem_params(mpad, interpret))(lhs, rhs)
         return bd, bi
 
     bd, bi = jax.lax.cond(fit, windowed, full)
@@ -319,7 +341,11 @@ def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
     dmaskp = jnp.pad(dmask, (0, pad))
 
     on_tpu = jax.default_backend() != "cpu"
-    use_pallas = impl == "pallas" or (impl == "auto" and on_tpu)
+    # beyond _PALLAS_MAX_DST the kernel's VMEM-resident rhs cannot fit on
+    # the chip — route "auto" to the HBM-chunked XLA scan (slower, works at
+    # any size); an explicit impl="pallas" is honored as asked
+    use_pallas = impl == "pallas" or (impl == "auto" and on_tpu
+                                      and m <= _PALLAS_MAX_DST)
     if use_pallas:
         best_d, best_i = _nn_min_pallas(src, dstp, dmaskp,
                                         interpret=not on_tpu)
@@ -369,7 +395,10 @@ def nn_distance_radius(src: jnp.ndarray, dst: jnp.ndarray, radius,
 
     on_tpu = jax.default_backend() != "cpu"
     use_pallas = on_tpu or bool(interpret)
-    if not use_pallas or window_chunks * _DST_CHUNK >= m:
+    if (not use_pallas or window_chunks * _DST_CHUNK >= m
+            or m > _PALLAS_MAX_DST):
+        # nn_distance applies the same size routing (XLA scan past the
+        # VMEM-resident rhs limit)
         return nn_distance(src, dst, src_mask, dst_mask, chunk=chunk,
                            with_index=with_index)
 

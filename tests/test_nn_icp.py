@@ -181,6 +181,35 @@ class TestNNWindowed:
             window_chunks=8, axis=2, interpret=True))
         np.testing.assert_allclose(d_win, d_ref, atol=1e-6)
 
+    def test_oversize_dst_routes_to_xla_scan(self, rng, monkeypatch):
+        # past _PALLAS_MAX_DST the VMEM-resident rhs cannot fit on the
+        # chip; "auto"/radius paths must fall back to the HBM-chunked XLA
+        # scan (exact everywhere). Shrink the cap so the route engages at
+        # test scale; unique m keeps jit cache entries from aliasing runs
+        # traced under the real cap.
+        from otslam_tpu.kernels import nn as nn_mod
+
+        monkeypatch.setattr(nn_mod, "_PALLAS_MAX_DST", 2048)
+        src, dst = self._clouds(rng, n=512, m=3037)
+        full = np.linalg.norm(
+            src[:, None] - dst[None], axis=-1).min(1)
+        d_radius = np.asarray(nn_distance_radius(
+            jnp.asarray(src), jnp.asarray(dst), self.RADIUS,
+            window_chunks=2, axis=2, interpret=True))
+        np.testing.assert_allclose(d_radius, full, atol=1e-5)
+
+    def test_vmem_params_sizing(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from otslam_tpu.kernels.nn import _nn_vmem_params
+
+        assert _nn_vmem_params(4096, interpret=False) == {}
+        assert _nn_vmem_params(1 << 20, interpret=True) == {}
+        params = _nn_vmem_params(1 << 20, interpret=False)
+        cp = params["compiler_params"]
+        assert isinstance(cp, pltpu.CompilerParams)
+        assert cp.vmem_limit_bytes == 24 * (1 << 20) * 4 + (8 << 20)
+
 
 @pytest.mark.slow
 class TestICPWindowed:
