@@ -313,8 +313,9 @@ def extract_meshes_sharded(vols, mesh: Mesh, axis: str = "data",
     its object shard, zero collectives (extraction is embarrassingly
     object-parallel, like fuse_objects_sparse_parallel).
 
-    Returns (verts (B, T, 3, 3), cols (B, T, 3, 3), masks (B, T)) with
-    T = max_cells * 12, object-sharded over `axis`, bit-identical per
+    Returns (verts (B, T, 9), cols (B, T, 9), masks (B, T)) with
+    T = max_cells * 12 (rows vertex-major, see marching.extract_mesh_soup),
+    object-sharded over `axis`, bit-identical per
     volume to marching.extract_mesh_soup_block. The volume list pads to a
     device-count multiple by repeating the last volume; padded rows are
     dropped on return. Capacities default to the max of the per-volume

@@ -10,9 +10,11 @@ the triangulation difference is irrelevant at the metric level while the
 vertex set still lies exactly on the TSDF zero surface.
 
 TPU shape: active cells (all 8 corners observed, mixed signs) are compacted
-to a static capacity; per-cell work is fully vectorized gathers + lerps; the
-triangle soup is padded + masked. Vertex welding happens host-side at save
-time (numpy unique on quantized vertices).
+to a static capacity; per-cell work is fully vectorized one-hot selections +
+lerps laid out cell-LAST (the cell axis rides the 128-lane dim — small-minor
+layouts like (C, 6, 2, 3, 8) pay a 16x lane-padding tax in HBM); the
+triangle soup is padded + masked, rows (T, 9) vertex-major. Vertex welding
+happens host-side at save time (numpy unique on quantized vertices).
 """
 
 from __future__ import annotations
@@ -138,13 +140,44 @@ def _build_sel_onehot():
 _SEL_A, _SEL_B, _TRI_PRESENT = _build_sel_onehot()
 
 
+def _build_sel2():
+    """Flattened cell-LAST variants of the selection tables, shaped for one
+    (288, 96) @ (96, C) MXU matmul per endpoint: row ((s*2+t)*3+k)*8+a,
+    column s*16+n. Small minor dims on a (cells, ...)-major tensor pad to
+    128 lanes on TPU (the (C,6,2,3,8) intermediates of the old formulation
+    cost ~400 MB of HBM traffic EACH at C=8192); keeping the cell axis
+    last makes every per-cell tensor (small, C) — lane-dim C tiles
+    perfectly."""
+    sel2a = np.zeros((288, 96), np.float32)
+    sel2b = np.zeros((288, 96), np.float32)
+    pres2 = np.zeros((12, 96), np.float32)
+    for s in range(6):
+        for n in range(16):
+            col = s * 16 + n
+            for t in range(2):
+                pres2[s * 2 + t, col] = _TRI_PRESENT[n, t]
+                for k in range(3):
+                    for a in range(8):
+                        row = ((s * 2 + t) * 3 + k) * 8 + a
+                        sel2a[row, col] = _SEL_A[n, s, t, k, a]
+                        sel2b[row, col] = _SEL_B[n, s, t, k, a]
+    return sel2a, sel2b, pres2
+
+
+_SEL2_A, _SEL2_B, _PRES2 = _build_sel2()
+# TSDF-gradient weights for winding: g_f = sum_v tv_v * (2*offset_vf - 1)/4
+_GRAD_W = ((2.0 * _CORNERS - 1.0) / 4.0).astype(np.float32)   # (8, 3)
+
+
 @partial(jax.jit, static_argnames=("max_cells",))
 def extract_mesh_soup(vol: TSDFVolume, max_cells: int = 131072):
     """Marching-tetrahedra triangle soup.
 
-    Returns (verts (T, 3, 3), cols (T, 3, 3), tri_mask (T,)) with
-    T = max_cells * 12 (6 tets x up to 2 triangles). Degenerate/absent
-    triangles are masked out. Triangle winding: outward (toward tsdf > 0).
+    Returns (verts (T, 9), cols (T, 9), tri_mask (T,)) with
+    T = max_cells * 12 (6 tets x up to 2 triangles) and rows vertex-major
+    ([v0x v0y v0z v1x ... v2z]; reshape(-1, 3, 3) recovers triangles).
+    Degenerate/absent triangles are masked out. Triangle winding: outward
+    (toward tsdf > 0).
     """
     X, Y, Z = vol.dims
     t = vol.tsdf
@@ -176,69 +209,93 @@ def extract_mesh_soup(vol: TSDFVolume, max_cells: int = 131072):
     cj = (cells // cz) % cy
     ck = cells % cz
 
-    # per-cell corner tsdf/color and world positions
+    # per-cell corner tsdf/color and world positions, built cell-LAST
+    # (see _soup_from_corners for the layout rationale)
     flat = t.reshape(-1)
-    corner_flat = ((ci[:, None] + _CORNERS[None, :, 0]) * (Y * Z)
-                   + (cj[:, None] + _CORNERS[None, :, 1]) * Z
-                   + (ck[:, None] + _CORNERS[None, :, 2]))     # (C, 8)
-    tv = jnp.take(flat, corner_flat)                            # (C, 8)
+    corner_flat = ((_CORNERS[:, None, 0] + ci[None, :]) * (Y * Z)
+                   + (_CORNERS[:, None, 1] + cj[None, :]) * Z
+                   + (_CORNERS[:, None, 2] + ck[None, :]))      # (8, C)
+    tvT = jnp.take(flat, corner_flat)                           # (8, C)
     cf = vol.color.reshape(3, -1)
-    cv = jnp.stack([jnp.take(cf[c], corner_flat) for c in range(3)],
-                   axis=-1)                                     # (C, 8, 3)
-    base = jnp.stack([ci, cj, ck], axis=-1).astype(jnp.float32)
-    corner_pos = ((base[:, None, :] + _CORNERS[None].astype(jnp.float32)
-                   + 0.5) * vol.voxel_size
-                  + jnp.asarray(vol.origin, jnp.float32))       # (C, 8, 3)
+    cvT = jnp.stack([jnp.take(cf[c], corner_flat) for c in range(3)],
+                    axis=1)                                     # (8, 3, C)
+    baseT = jnp.stack([ci, cj, ck], axis=0).astype(jnp.float32)  # (3, C)
+    posT = ((baseT[None, :, :] + _CORNERS.astype(np.float32)[:, :, None]
+             + 0.5) * vol.voxel_size
+            + jnp.asarray(vol.origin, jnp.float32)[None, :, None])  # (8,3,C)
 
-    return _soup_from_corners(tv, corner_pos, cv, cell_mask)
+    return _soup_from_corners(tvT, posT, cvT, cell_mask)
 
 
-def _soup_from_corners(tv, corner_pos, cv, cell_mask):
+def _soup_from_corners(tvT, posT, cvT, cell_mask):
     """Per-cell marching-tetrahedra phase, shared by the dense and block
-    paths: corner tsdf (C, 8), world positions (C, 8, 3) and colors
-    (C, 8, 3) in, masked triangle soup out."""
-    # per-tet case ids
-    tet_t = tv[:, _TETS]                                        # (C, 6, 4)
+    paths. Inputs are cell-LAST: corner tsdf (8, C), world positions
+    (8, 3, C), colors (8, 3, C); output is the masked triangle soup
+    (verts (T, 9), cols (T, 9), tri_mask (T,)) with T = C*12 and rows laid
+    out vertex-major ([v0x v0y v0z v1x ... v2z], triangle t = cell*12 +
+    tet*2 + tri).
+
+    Layout rationale: TPU tiles the minor two dims to (8, 128) — a
+    cells-major (C, 6, 2, 3, 8) intermediate pads its 8-wide minor dim to
+    128 lanes (16x HBM inflation, ~400 MB per tensor at C=8192, measured
+    4.3 ms of a 13.7 ms extraction). With the cell axis last every
+    intermediate is (small, C): full lane utilization, and the corner
+    selection collapses to one (288, 96) @ (96, C) matmul per edge
+    endpoint. The selections are exact (one-hot 0/1 weights, at most one
+    nonzero term per sum), so results are bit-identical to gathers."""
+    C = tvT.shape[1]
+    tet_t = tvT[np.asarray(_TETS)]                              # (6, 4, C)
     bits = (tet_t < 0).astype(jnp.int32)
-    case = (bits[..., 0] + bits[..., 1] * 2 + bits[..., 2] * 4
-            + bits[..., 3] * 8)                                 # (C, 6)
+    case = (bits[:, 0] + bits[:, 1] * 2 + bits[:, 2] * 4
+            + bits[:, 3] * 8)                                   # (6, C)
 
-    # corner-value selection via the static one-hot tables (see
-    # _build_sel_onehot): two einsums with 0/1 weights replace the per-cell
-    # take_along_axis chains; every sum has at most one nonzero term, so the
-    # results are bit-identical to the gathers
-    oh_case = jax.nn.one_hot(case, 16, dtype=jnp.float32)      # (C, 6, 16)
-    present = jnp.einsum("csn,nt->cst", oh_case,
-                         jnp.asarray(_TRI_PRESENT)) > 0.5       # (C, 6, 2)
+    # one-hot over (tet, case) rows -> (96, C); selection tables contract
+    # it on the MXU (0/1 values are exact at any matmul precision)
+    oh2 = (case[:, None, :]
+           == jnp.arange(16, dtype=case.dtype)[None, :, None])  # (6, 16, C)
+    oh2 = oh2.astype(jnp.float32).reshape(96, C)
+    hi = jax.lax.Precision.HIGHEST
+    wa = jnp.dot(jnp.asarray(_SEL2_A), oh2, precision=hi)       # (288, C)
+    wb = jnp.dot(jnp.asarray(_SEL2_B), oh2, precision=hi)
+    present = jnp.dot(jnp.asarray(_PRES2), oh2, precision=hi) > 0.5  # (12, C)
 
-    # all per-corner channels in one stack: tsdf, world position, color
-    vals = jnp.concatenate([tv[..., None], corner_pos, cv], axis=-1)  # (C,8,7)
-    wa = jnp.einsum("csn,nstka->cstka", oh_case, jnp.asarray(_SEL_A))
-    wb = jnp.einsum("csn,nstka->cstka", oh_case, jnp.asarray(_SEL_B))
-    va = jnp.einsum("cstka,caf->cstkf", wa, vals)               # (C,6,2,3,7)
-    vb = jnp.einsum("cstka,caf->cstkf", wb, vals)
-    ta, pa, ca = va[..., 0], va[..., 1:4], va[..., 4:7]
-    tb, pb, cb = vb[..., 0], vb[..., 1:4], vb[..., 4:7]
+    # all per-corner channels in one stack: tsdf, world position, color;
+    # endpoint values select with exactly one nonzero weight per (row, c),
+    # so HIGHEST precision keeps them bit-exact f32 (DEFAULT would round
+    # the value operand to bf16 on the MXU)
+    vals = jnp.concatenate([tvT[:, None, :], posT, cvT], axis=1)  # (8, 7, C)
+    va = jnp.einsum("wac,afc->wfc", wa.reshape(36, 8, C), vals,
+                    precision=hi)                               # (36, 7, C)
+    vb = jnp.einsum("wac,afc->wfc", wb.reshape(36, 8, C), vals,
+                    precision=hi)
+    ta, pa, ca = va[:, 0], va[:, 1:4], va[:, 4:7]
+    tb, pb, cb = vb[:, 0], vb[:, 1:4], vb[:, 4:7]
 
-    denom = ta - tb
+    denom = ta - tb                                             # (36, C)
     frac = ta / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
-    frac = jnp.clip(frac, 0.0, 1.0)[..., None]
-    verts = pa + (pb - pa) * frac                               # (C,6,2,3,3)
+    frac = jnp.clip(frac, 0.0, 1.0)[:, None, :]                 # (36, 1, C)
+    verts = pa + (pb - pa) * frac                               # (36, 3, C)
     cols = jnp.clip((ca + (cb - ca) * frac) / 255.0, 0.0, 1.0)
 
     # fix winding so normals point toward positive tsdf (outward): compare
     # each triangle's geometric normal with the cell's trilinear TSDF
-    # gradient, g_k = sum_i tv_i * (2*offset_ik - 1) / 4
-    n_geom = jnp.cross(verts[..., 1, :] - verts[..., 0, :],
-                       verts[..., 2, :] - verts[..., 0, :])     # (C,6,2,3)
-    gdir = jnp.einsum("cv,vk->ck", tv,
-                      (2.0 * _CORNERS.astype(np.float32) - 1.0) / 4.0)
-    flip = jnp.einsum("cstk,ck->cst", n_geom, gdir) < 0         # (C,6,2)
-    v1 = jnp.where(flip[..., None, None], verts[..., [0, 2, 1], :], verts)
-    c1 = jnp.where(flip[..., None, None], cols[..., [0, 2, 1], :], cols)
+    # gradient, g_f = sum_v tv_v * (2*offset_vf - 1) / 4
+    vK = verts.reshape(12, 3, 3, C)                             # (st, vtx, f, C)
+    cK = cols.reshape(12, 3, 3, C)
+    n_geom = jnp.cross(vK[:, 1] - vK[:, 0], vK[:, 2] - vK[:, 0],
+                       axis=1)                                  # (12, 3, C)
+    gdir = jnp.einsum("vc,vf->fc", tvT, jnp.asarray(_GRAD_W),
+                      precision=hi)                             # (3, C)
+    flip = jnp.einsum("sfc,fc->sc", n_geom, gdir,
+                      precision=hi) < 0                         # (12, C)
+    swap = np.asarray([0, 2, 1])
+    v1 = jnp.where(flip[:, None, None, :], vK[:, swap], vK)
+    c1 = jnp.where(flip[:, None, None, :], cK[:, swap], cK)
 
-    tri_mask = (present & cell_mask[:, None, None]).reshape(-1)
-    return (v1.reshape(-1, 3, 3), c1.reshape(-1, 3, 3), tri_mask)
+    tri_mask = (present & cell_mask[None, :]).T.reshape(-1)     # (C*12,)
+    v_out = v1.reshape(12, 9, C).transpose(2, 0, 1).reshape(-1, 9)
+    c_out = c1.reshape(12, 9, C).transpose(2, 0, 1).reshape(-1, 9)
+    return (v_out, c_out, tri_mask)
 
 
 @jax.jit
@@ -302,46 +359,96 @@ def _block_halo_ids(grid_blocks, nb, ids):
     return out
 
 
-def _corner_stack_block(arr, ids, halo_ids, M):
-    """(M*512, 8) per-voxel corner stack of one block-row field: expand each
-    block to its (9, 9, 9) halo (neighbor planes/edges/corner pulled in via
-    row gathers — the dead row supplies zeros at boundaries), then the 8
-    corner fields are static slices. No element gathers."""
-    from otslam_tpu.kernels.tsdf_block import BLOCK
+def _build_corner_lane_plan():
+    """Lane-level plan for building per-corner fields from (M, 512) block
+    rows: for cube corner offset o = (dx, dy, dz), the corner value of
+    voxel l = lx*64 + ly*8 + lz is a LANE SHIFT of either the block's own
+    row or one of its 7 (+x/+y/+z combo) halo rows — which one depends on
+    which coordinates sit at the block boundary (==7). Per corner, per
+    wrap-combo w ⊆ nonzero(o): (w, lane shift, static (512,) mask); the
+    masks partition the lanes. 27 masked rolls total across the 8 corners,
+    all on (M, 512) arrays whose 512-lane minor dim tiles perfectly — the
+    previous (M, 9, 9, 9) halo expansion + (M*512, 8) stack paid a 14-16x
+    lane-padding tax on every pass (measured 3.35 ms of a 13.7 ms
+    256^3-volume extraction for tsdf+weight alone)."""
+    lane = np.arange(512)
+    coords = (lane // 64, (lane // 8) % 8, lane % 8)
+    strides = (64, 8, 1)
+    plan = []
+    for o in _CORNERS:
+        axes = [a for a in range(3) if o[a]]
+        entries = []
+        for bits in range(1 << len(axes)):
+            w = [0, 0, 0]
+            mask = np.ones(512, bool)
+            shift = 0
+            for j, a in enumerate(axes):
+                wrapped = (bits >> j) & 1
+                w[a] = wrapped
+                mask &= (coords[a] == 7) if wrapped else (coords[a] < 7)
+                shift += (1 - 8 * wrapped) * strides[a]
+            entries.append((tuple(w), int(shift), mask))
+        plan.append(entries)
+    return plan
 
-    def rows4(sel):
-        return jnp.take(arr, sel, axis=0).reshape(M, BLOCK, BLOCK, BLOCK)
 
-    e = jnp.zeros((M, 9, 9, 9), arr.dtype)
-    e = e.at[:, :8, :8, :8].set(rows4(ids))
-    e = e.at[:, 8, :8, :8].set(rows4(halo_ids[(1, 0, 0)])[:, 0, :, :])
-    e = e.at[:, :8, 8, :8].set(rows4(halo_ids[(0, 1, 0)])[:, :, 0, :])
-    e = e.at[:, :8, :8, 8].set(rows4(halo_ids[(0, 0, 1)])[:, :, :, 0])
-    e = e.at[:, 8, 8, :8].set(rows4(halo_ids[(1, 1, 0)])[:, 0, 0, :])
-    e = e.at[:, 8, :8, 8].set(rows4(halo_ids[(1, 0, 1)])[:, 0, :, 0])
-    e = e.at[:, :8, 8, 8].set(rows4(halo_ids[(0, 1, 1)])[:, :, 0, 0])
-    e = e.at[:, 8, 8, 8].set(rows4(halo_ids[(1, 1, 1)])[:, 0, 0, 0])
-    return jnp.stack([e[:, dx:dx + 8, dy:dy + 8, dz:dz + 8]
-                      for (dx, dy, dz) in _CORNERS], axis=-1).reshape(-1, 8)
+_CORNER_LANE_PLAN = _build_corner_lane_plan()
+
+
+def _row_sets(arr, ids, halo_ids):
+    """dict w -> (M, 512) gathered field rows: w=(0,0,0) the block's own
+    row, plus its 7 +offset halo rows (dead row = zeros at boundaries and
+    for padding ids)."""
+    out = {(0, 0, 0): jnp.take(arr, ids, axis=0)}
+    for w, hid in halo_ids.items():
+        out[w] = jnp.take(arr, hid, axis=0)
+    return out
+
+
+def _corner_fields(rows):
+    """(8, M, 512) per-corner field values from _row_sets output via the
+    static lane plan (masked rolls; masks partition, so a where-chain over
+    the plan entries covers every lane exactly once)."""
+    outs = []
+    for entries in _CORNER_LANE_PLAN:
+        w0, shift0, _ = entries[0]
+        acc = jnp.roll(rows[w0], -shift0, axis=1)
+        for w, shift, mask in entries[1:]:
+            acc = jnp.where(jnp.asarray(mask)[None, :],
+                            jnp.roll(rows[w], -shift, axis=1), acc)
+        outs.append(acc)
+    return jnp.stack(outs, axis=0)
 
 
 def _block_active_cells(vol, max_blocks: int):
-    """Compacted created-block ids, their halo ids, the (M*512, 8) tsdf
-    corner stack, and the flat active-cell mask."""
-    from otslam_tpu.kernels.tsdf_block import BLOCK_VOXELS
-
+    """Compacted created-block ids, their halo ids, the (8, M, 512) tsdf
+    corner fields, and the flat (M*512,) active-cell mask."""
     nb = vol.num_blocks
     ids = compact_ids(vol.created[:nb], max_blocks, nb)
     halo = _block_halo_ids(vol.grid_blocks, nb, ids)
-    t8 = _corner_stack_block(vol.tsdf, ids, halo, max_blocks)
-    w8 = _corner_stack_block(vol.weight, ids, halo, max_blocks)
+    t8 = _corner_fields(_row_sets(vol.tsdf, ids, halo))
+    w8 = _corner_fields(_row_sets(vol.weight, ids, halo))
     # padding entries alias the dead row; keep self-contained even if a
     # caller dirtied it (mirrors extract_surface_points_sparse)
-    valid = jnp.repeat(ids < nb, BLOCK_VOXELS)
-    observed = jnp.all(w8 > 0, axis=1) & valid
+    valid = (ids < nb)[:, None]
+    observed = jnp.all(w8 > 0, axis=0) & valid
     neg = t8 < 0
-    mixed = jnp.any(neg, axis=1) & ~jnp.all(neg, axis=1)
-    return ids, halo, t8, observed & mixed
+    mixed = jnp.any(neg, axis=0) & ~jnp.all(neg, axis=0)
+    return ids, halo, t8, (observed & mixed).reshape(-1)
+
+
+def _cell_values(field8, mi, oh):
+    """(8, C) per-cell corner values: row-gather each corner field at the
+    cells' block rows, then select the intra-block lane with a shared
+    one-hot multiply-reduce (exact: 0/1 weights, one nonzero per sum).
+    field8 (8, M, 512); mi (C,) compacted-block row per cell; oh (C, 512)
+    one-hot of the cell's intra-block voxel index."""
+    k, M, V = field8.shape
+    rows = jnp.take(field8.reshape(k * M, V),
+                    jnp.arange(k, dtype=mi.dtype)[:, None] * M + mi[None, :],
+                    axis=0)                                     # (8, C, 512)
+    return jnp.einsum("kcl,cl->kc", rows, oh,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("max_blocks", "max_cells"))
@@ -349,9 +456,10 @@ def extract_mesh_soup_block(vol, max_blocks: int = 4096,
                             max_cells: int = 32768, origin=None):
     """Marching-tetrahedra triangle soup from a BlockTSDFVolume.
 
-    Same contract as ``extract_mesh_soup`` (verts (T,3,3), cols (T,3,3),
-    tri_mask (T,), T = max_cells * 12); triangles are identical to the
-    densified path's as a set (soup order is block-major).
+    Same contract as ``extract_mesh_soup`` (verts (T, 9), cols (T, 9),
+    tri_mask (T,), T = max_cells * 12, rows vertex-major); triangles are
+    identical to the densified path's as a set (soup order is
+    block-major).
 
     origin: optional traced (3,) world origin overriding ``vol.origin`` —
     lets the batched path vmap over per-volume origins while keeping the
@@ -369,7 +477,7 @@ def extract_mesh_soup_block(vol, max_blocks: int = 4096,
     cell_mask = jnp.arange(max_cells) < jnp.sum(active)
     cells = jnp.where(cell_mask, cells, 0)
 
-    # decode cell -> global base voxel
+    # decode cell -> global base voxel (cell-last layout throughout)
     mi = cells // V
     l = cells % V
     lx = l // (BLOCK * BLOCK)
@@ -379,19 +487,20 @@ def extract_mesh_soup_block(vol, max_blocks: int = 4096,
     ix = bid // (by * bz)
     iy = (bid // bz) % by
     iz = bid % bz
-    base = jnp.stack([ix * BLOCK + lx, iy * BLOCK + ly, iz * BLOCK + lz],
-                     axis=-1).astype(jnp.float32)
+    baseT = jnp.stack([ix * BLOCK + lx, iy * BLOCK + ly, iz * BLOCK + lz],
+                      axis=0).astype(jnp.float32)               # (3, C)
     org = (jnp.asarray(vol.origin, jnp.float32) if origin is None
            else jnp.asarray(origin, jnp.float32))
-    corner_pos = ((base[:, None, :] + _CORNERS[None].astype(jnp.float32)
-                   + 0.5) * vol.voxel_size + org)               # (C, 8, 3)
+    posT = ((baseT[None, :, :] + _CORNERS.astype(np.float32)[:, :, None]
+             + 0.5) * vol.voxel_size + org[None, :, None])      # (8, 3, C)
 
-    tv = jnp.take(t8, cells, axis=0)                            # (C, 8)
-    cv = jnp.stack(
-        [jnp.take(_corner_stack_block(vol.color[:, c * V:(c + 1) * V],
-                                      ids, halo, max_blocks), cells, axis=0)
-         for c in range(3)], axis=-1)                           # (C, 8, 3)
-    return _soup_from_corners(tv, corner_pos, cv, cell_mask)
+    oh = jax.nn.one_hot(l, V, dtype=jnp.float32)                # (C, 512)
+    tvT = _cell_values(t8, mi, oh)                              # (8, C)
+    cvT = jnp.stack(
+        [_cell_values(_corner_fields(_row_sets(
+            vol.color[:, c * V:(c + 1) * V], ids, halo)), mi, oh)
+         for c in range(3)], axis=1)                            # (8, 3, C)
+    return _soup_from_corners(tvT, posT, cvT, cell_mask)
 
 
 @partial(jax.jit, static_argnames=("max_blocks",))
@@ -458,7 +567,7 @@ def batched_extract_setup(vols, max_blocks: int | None = None,
 def extract_meshes_block(vols, max_blocks: int | None = None,
                          max_cells: int | None = None):
     """Batched triangle soups for B same-shape BlockTSDFVolumes in ONE
-    dispatch: (verts (B,T,3,3), cols (B,T,3,3), masks (B,T)).
+    dispatch: (verts (B,T,9), cols (B,T,9), masks (B,T)).
 
     Through the remote-chip tunnel a dispatch costs ~29 ms RTT, so
     extracting a multi-object scene's volumes one call at a time is
@@ -489,7 +598,7 @@ def extract_mesh(vol, max_cells: int | None = None):
 
 
 def _weld_mesh(verts, cols, mask):
-    """Host-side vertex welding of a masked triangle soup (1e-5 m
+    """Host-side vertex welding of a masked (T, 9) triangle soup (1e-5 m
     quantization) into (vertices, faces, colors, normals)."""
     v = np.asarray(verts)[np.asarray(mask)].reshape(-1, 3)
     c = np.asarray(cols)[np.asarray(mask)].reshape(-1, 3)

@@ -109,7 +109,8 @@ class TestFromFusion:
 def _masked_tris(soup):
     verts, cols, mask = soup
     m = np.asarray(mask)
-    return np.asarray(verts)[m], np.asarray(cols)[m]
+    return (np.asarray(verts)[m].reshape(-1, 3, 3),
+            np.asarray(cols)[m].reshape(-1, 3, 3))
 
 
 def _canon(tris):
