@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from otslam_tpu.kernels.tsdf import TSDFVolume
-from otslam_tpu.kernels.tsdf_block import compact_ids
+from otslam_tpu.kernels.tsdf_block import (_corner_fields, _row_sets,
+                                           compact_ids)
 
 
 def _compact_ids_hier(active: jnp.ndarray, max_ids: int,
@@ -359,67 +360,6 @@ def _block_halo_ids(grid_blocks, nb, ids):
     return out
 
 
-def _build_corner_lane_plan():
-    """Lane-level plan for building per-corner fields from (M, 512) block
-    rows: for cube corner offset o = (dx, dy, dz), the corner value of
-    voxel l = lx*64 + ly*8 + lz is a LANE SHIFT of either the block's own
-    row or one of its 7 (+x/+y/+z combo) halo rows — which one depends on
-    which coordinates sit at the block boundary (==7). Per corner, per
-    wrap-combo w ⊆ nonzero(o): (w, lane shift, static (512,) mask); the
-    masks partition the lanes. 27 masked rolls total across the 8 corners,
-    all on (M, 512) arrays whose 512-lane minor dim tiles perfectly — the
-    previous (M, 9, 9, 9) halo expansion + (M*512, 8) stack paid a 14-16x
-    lane-padding tax on every pass (measured 3.35 ms of a 13.7 ms
-    256^3-volume extraction for tsdf+weight alone)."""
-    lane = np.arange(512)
-    coords = (lane // 64, (lane // 8) % 8, lane % 8)
-    strides = (64, 8, 1)
-    plan = []
-    for o in _CORNERS:
-        axes = [a for a in range(3) if o[a]]
-        entries = []
-        for bits in range(1 << len(axes)):
-            w = [0, 0, 0]
-            mask = np.ones(512, bool)
-            shift = 0
-            for j, a in enumerate(axes):
-                wrapped = (bits >> j) & 1
-                w[a] = wrapped
-                mask &= (coords[a] == 7) if wrapped else (coords[a] < 7)
-                shift += (1 - 8 * wrapped) * strides[a]
-            entries.append((tuple(w), int(shift), mask))
-        plan.append(entries)
-    return plan
-
-
-_CORNER_LANE_PLAN = _build_corner_lane_plan()
-
-
-def _row_sets(arr, ids, halo_ids):
-    """dict w -> (M, 512) gathered field rows: w=(0,0,0) the block's own
-    row, plus its 7 +offset halo rows (dead row = zeros at boundaries and
-    for padding ids)."""
-    out = {(0, 0, 0): jnp.take(arr, ids, axis=0)}
-    for w, hid in halo_ids.items():
-        out[w] = jnp.take(arr, hid, axis=0)
-    return out
-
-
-def _corner_fields(rows):
-    """(8, M, 512) per-corner field values from _row_sets output via the
-    static lane plan (masked rolls; masks partition, so a where-chain over
-    the plan entries covers every lane exactly once)."""
-    outs = []
-    for entries in _CORNER_LANE_PLAN:
-        w0, shift0, _ = entries[0]
-        acc = jnp.roll(rows[w0], -shift0, axis=1)
-        for w, shift, mask in entries[1:]:
-            acc = jnp.where(jnp.asarray(mask)[None, :],
-                            jnp.roll(rows[w], -shift, axis=1), acc)
-        outs.append(acc)
-    return jnp.stack(outs, axis=0)
-
-
 def _block_active_cells(vol, max_blocks: int):
     """Compacted created-block ids, their halo ids, the (8, M, 512) tsdf
     corner fields, and the flat (M*512,) active-cell mask."""
@@ -442,13 +382,17 @@ def _cell_values(field8, mi, oh):
     cells' block rows, then select the intra-block lane with a shared
     one-hot multiply-reduce (exact: 0/1 weights, one nonzero per sum).
     field8 (8, M, 512); mi (C,) compacted-block row per cell; oh (C, 512)
-    one-hot of the cell's intra-block voxel index."""
-    k, M, V = field8.shape
-    rows = jnp.take(field8.reshape(k * M, V),
-                    jnp.arange(k, dtype=mi.dtype)[:, None] * M + mi[None, :],
-                    axis=0)                                     # (8, C, 512)
-    return jnp.einsum("kcl,cl->kc", rows, oh,
-                      precision=jax.lax.Precision.HIGHEST)
+    one-hot of the cell's intra-block voxel index.
+
+    Per-corner loop: one (C, 512) gather + fused reduce per corner beat
+    both the bulk (8*M, 512)-row gather (6.95 vs 5.32 ms/extract on-chip
+    at the cv stage) and flat element gathers (5.94) — smaller gathers
+    pipeline against the reduction."""
+    hi = jax.lax.Precision.HIGHEST
+    outs = [jnp.einsum("cl,cl->c", jnp.take(field8[k], mi, axis=0), oh,
+                       precision=hi)
+            for k in range(field8.shape[0])]
+    return jnp.stack(outs)
 
 
 @partial(jax.jit, static_argnames=("max_blocks", "max_cells"))

@@ -444,16 +444,80 @@ def _neighbor_block_ids(vol: BlockTSDFVolume, ids: jnp.ndarray):
     return nx, ny, nz
 
 
-def _shift_in(self_vals, nbr_vals, axis):
-    """Shift block-local voxels by +1 along an axis, pulling the first slice
-    of the +1-neighbor block in at the boundary. vals: (C, 8, 8, 8)."""
-    if axis == 0:
-        return jnp.concatenate([self_vals[:, 1:], nbr_vals[:, :1]], axis=1)
-    if axis == 1:
-        return jnp.concatenate([self_vals[:, :, 1:], nbr_vals[:, :, :1]],
-                               axis=2)
-    return jnp.concatenate([self_vals[:, :, :, 1:], nbr_vals[:, :, :, :1]],
-                           axis=3)
+def _build_corner_lane_plan():
+    """Lane-level plan for building per-corner fields from (M, 512) block
+    rows: for cube corner offset o = (dx, dy, dz), the corner value of
+    voxel l = lx*64 + ly*8 + lz is a LANE SHIFT of either the block's own
+    row or one of its 7 (+x/+y/+z combo) halo rows — which one depends on
+    which coordinates sit at the block boundary (==7). Per corner, per
+    wrap-combo w ⊆ nonzero(o): (w, lane shift, static (512,) mask); the
+    masks partition the lanes. 27 masked rolls total across the 8 corners,
+    all on (M, 512) arrays whose 512-lane minor dim tiles perfectly — the
+    previous (M, 9, 9, 9) halo expansion + (M*512, 8) stack paid a 14-16x
+    lane-padding tax on every pass (measured 3.35 ms of a 13.7 ms
+    256^3-volume mesh extraction for tsdf+weight alone)."""
+    import numpy as np
+
+    lane = np.arange(BLOCK_VOXELS)
+    coords = (lane // (BLOCK * BLOCK), (lane // BLOCK) % BLOCK, lane % BLOCK)
+    strides = (BLOCK * BLOCK, BLOCK, 1)
+    top = BLOCK - 1
+    plan = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                o = (dx, dy, dz)
+                axes = [a for a in range(3) if o[a]]
+                entries = []
+                for bits in range(1 << len(axes)):
+                    w = [0, 0, 0]
+                    mask = np.ones(BLOCK_VOXELS, bool)
+                    shift = 0
+                    for j, a in enumerate(axes):
+                        wrapped = (bits >> j) & 1
+                        w[a] = wrapped
+                        mask &= ((coords[a] == top) if wrapped
+                                 else (coords[a] < top))
+                        shift += (1 - BLOCK * wrapped) * strides[a]
+                    entries.append((tuple(w), int(shift), mask))
+                plan.append(entries)
+    return plan
+
+
+_CORNER_LANE_PLAN = _build_corner_lane_plan()
+# plan index for cube corner (dx, dy, dz) — z fastest, matching _CORNERS
+_CORNER_INDEX = {(dx, dy, dz): dx * 4 + dy * 2 + dz
+                 for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)}
+
+
+def _row_sets(arr, ids, halo_ids):
+    """dict w -> (M, 512) gathered field rows: w=(0,0,0) the block's own
+    row, plus +offset halo rows for every key in halo_ids (dead row =
+    zeros at boundaries and for padding ids)."""
+    out = {(0, 0, 0): jnp.take(arr, ids, axis=0)}
+    for w, hid in halo_ids.items():
+        out[w] = jnp.take(arr, hid, axis=0)
+    return out
+
+
+def _corner_field(rows, corner):
+    """(M, 512) field values at cube corner `corner` of every voxel, from
+    _row_sets output via the static lane plan (masked rolls; masks
+    partition, so a where-chain covers every lane exactly once)."""
+    entries = _CORNER_LANE_PLAN[_CORNER_INDEX[tuple(corner)]]
+    w0, shift0, _ = entries[0]
+    acc = jnp.roll(rows[w0], -shift0, axis=1)
+    for w, shift, mask in entries[1:]:
+        acc = jnp.where(jnp.asarray(mask)[None, :],
+                        jnp.roll(rows[w], -shift, axis=1), acc)
+    return acc
+
+
+def _corner_fields(rows):
+    """(8, M, 512): _corner_field for all 8 cube corners, z fastest."""
+    return jnp.stack([_corner_field(rows, (dx, dy, dz))
+                      for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+                     axis=0)
 
 
 @partial(jax.jit, static_argnames=("capacity", "max_blocks", "with_normals"))
@@ -475,22 +539,29 @@ def extract_surface_points_sparse(vol: BlockTSDFVolume,
     M = max_blocks
     V = BLOCK_VOXELS
 
-    def rows4(arr, sel):
-        return jnp.take(arr, sel, axis=0).reshape(M, BLOCK, BLOCK, BLOCK)
-
+    # +axis-shifted fields as lane-rolled (M, 512) rows (see
+    # _build_corner_lane_plan: the +1 shift along axis a IS the
+    # single-axis cube corner field) — the former (M, 8, 8, 8) working
+    # tensors paid a 16x lane-padding tax on every pass
     nxi, nyi, nzi = _neighbor_block_ids(vol, ids)
-    t_s = rows4(vol.tsdf, ids)
-    w_s = rows4(vol.weight, ids)
+    _AX_CORNERS = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+    nbr = dict(zip(_AX_CORNERS, (nxi, nyi, nzi)))
+
+    def shifted3(arr, self_rows):
+        rows = {(0, 0, 0): self_rows}
+        rows.update({c: jnp.take(arr, nbr[c], axis=0) for c in _AX_CORNERS})
+        return jnp.stack([_corner_field(rows, c) for c in _AX_CORNERS])
+
+    t_s = jnp.take(vol.tsdf, ids, axis=0)                    # (M, 512)
+    w_s = jnp.take(vol.weight, ids, axis=0)
     # padding entries of `ids` all alias the dead row; mask them out so the
     # extraction is correct even if a caller hands in a volume whose dead row
     # was dirtied (integration restores it, but keep this self-contained)
-    w_s = w_s * (ids < nb).astype(w_s.dtype)[:, None, None, None]
-    t_n = [rows4(vol.tsdf, n) for n in (nxi, nyi, nzi)]
-    w_n = [rows4(vol.weight, n) for n in (nxi, nyi, nzi)]
-    t_b = jnp.stack([_shift_in(t_s, t_n[a], a) for a in range(3)])  # (3,M,8,8,8)
-    w_b = jnp.stack([_shift_in(w_s, w_n[a], a) for a in range(3)])
+    w_s = w_s * (ids < nb).astype(w_s.dtype)[:, None]
+    t_b = shifted3(vol.tsdf, t_s)                            # (3, M, 512)
+    w_b = shifted3(vol.weight, w_s)
 
-    cross = (w_s[None] > 0) & (w_b > 0) & (t_s[None] * t_b < 0)     # (3,M,...)
+    cross = (w_s[None] > 0) & (w_b > 0) & (t_s[None] * t_b < 0)  # (3, M, 512)
     flat_mask = cross.reshape(-1)
     count = jnp.sum(flat_mask, dtype=jnp.int32)
     # stable argsort compaction (see tsdf.extract_surface_points): faster than
@@ -531,9 +602,8 @@ def extract_surface_points_sparse(vol: BlockTSDFVolume,
     cols_a, cols_b = [], []
     for c in range(3):
         ch = vol.color[:, c * V:(c + 1) * V]
-        c_s = rows4(ch, ids)
-        c_bn = jnp.stack([_shift_in(c_s, rows4(ch, n), a_)
-                          for a_, n in enumerate((nxi, nyi, nzi))])
+        c_s = jnp.take(ch, ids, axis=0)                      # (M, 512)
+        c_bn = shifted3(ch, c_s)                             # (3, M, 512)
         cols_a.append(jnp.take(c_s.reshape(-1), flat_sv))
         cols_b.append(jnp.take(c_bn.reshape(-1), sel))
     ca = jnp.stack(cols_a, axis=-1)
