@@ -308,9 +308,9 @@ def extract_meshes_sharded(vols, mesh: Mesh, axis: str = "data",
                            max_blocks: int | None = None,
                            max_cells: int | None = None):
     """Object-axis sharded mesh extraction: triangle soups of B same-shape
-    BlockTSDFVolumes in ONE sharded dispatch — each device runs the vmapped
-    block-soup extraction (marching.extract_meshes_block's inner fn) over
-    its object shard, zero collectives (extraction is embarrassingly
+    BlockTSDFVolumes in ONE sharded dispatch — each device extracts its
+    object shard as one flat block-soup problem
+    (marching._extract_meshes_flat), zero collectives (extraction is embarrassingly
     object-parallel, like fuse_objects_sparse_parallel).
 
     Returns (verts (B, T, 9), cols (B, T, 9), masks (B, T)) with
@@ -320,15 +320,23 @@ def extract_meshes_sharded(vols, mesh: Mesh, axis: str = "data",
     device-count multiple by repeating the last volume; padded rows are
     dropped on return. Capacities default to the max of the per-volume
     auto configs (static — shared by every shard)."""
-    from otslam_tpu.kernels.marching import batched_extract_setup
+    from otslam_tpu.kernels.marching import (_extract_meshes_flat,
+                                             batched_extract_setup)
 
     n_obj = len(vols)
     nd = mesh.shape[axis]
     padded = list(vols) + [vols[-1]] * ((-n_obj) % nd)
-    stacks, one, _, _ = batched_extract_setup(padded, max_blocks, max_cells)
+    stacks, _, mb, mc = batched_extract_setup(padded, max_blocks, max_cells)
+    v0 = vols[0]
 
     def shard_fn(t, w, c, cr, o):
-        return jax.vmap(one)(t, w, c, cr, o)
+        # each shard extracts its local object batch as one flat problem
+        # (see marching._extract_meshes_flat — 2.1x faster than vmapping
+        # the single-volume path)
+        return _extract_meshes_flat(t, w, c, cr, o,
+                                    grid_blocks=v0.grid_blocks,
+                                    voxel_size=v0.voxel_size,
+                                    max_blocks=mb, max_cells=mc)
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,

@@ -447,6 +447,84 @@ def extract_mesh_soup_block(vol, max_blocks: int = 4096,
     return _soup_from_corners(tvT, posT, cvT, cell_mask)
 
 
+@partial(jax.jit, static_argnames=("grid_blocks", "voxel_size",
+                                   "max_blocks", "max_cells"))
+def _extract_meshes_flat(tsdf, weight, color, created, origins,
+                         grid_blocks, voxel_size,
+                         max_blocks: int, max_cells: int):
+    """Batched extraction of B same-shape volumes as ONE flat problem.
+
+    The volumes' block rows concatenate into a global row space (each
+    volume keeps its own dead row), so every heavy stage — corner fields,
+    cell gathers, soup math — runs UNBATCHED over B*max_blocks rows /
+    B*max_cells cells. vmapping the single-volume path instead lowers the
+    gathers and contractions to batched variants that measured 2.1x
+    slower per volume on-chip (12.54 vs 5.92 ms at B=8, 256^3 volumes).
+    Only the per-volume compactions stay vmapped (sub-ms). Bit-identical
+    per volume to extract_mesh_soup_block: same compacted cells, same
+    arithmetic — the global row offset cancels in every decode."""
+    from otslam_tpu.kernels.tsdf_block import BLOCK, BLOCK_VOXELS
+
+    bx, by, bz = grid_blocks
+    V = BLOCK_VOXELS
+    B, rows_per = tsdf.shape[0], tsdf.shape[1]
+    nb = rows_per - 1
+    mb, mc = max_blocks, max_cells
+
+    ids = jax.vmap(lambda m: compact_ids(m[:nb], mb, nb))(created)  # (B, mb)
+    halo = _block_halo_ids(grid_blocks, nb, ids)   # elementwise: (B, mb) each
+    off = (jnp.arange(B, dtype=ids.dtype) * rows_per)[:, None]
+    gids = (ids + off).reshape(-1)                 # volume b's dead row stays
+    ghalo = {k: (v + off).reshape(-1) for k, v in halo.items()}  # b's own
+
+    tf = tsdf.reshape(B * rows_per, V)
+    wf = weight.reshape(B * rows_per, V)
+    t8 = _corner_fields(_row_sets(tf, gids, ghalo))   # (8, B*mb, 512)
+    w8 = _corner_fields(_row_sets(wf, gids, ghalo))
+    valid = (ids < nb).reshape(-1)[:, None]
+    observed = jnp.all(w8 > 0, axis=0) & valid
+    neg = t8 < 0
+    mixed = jnp.any(neg, axis=0) & ~jnp.all(neg, axis=0)
+    active = (observed & mixed).reshape(B, mb * V)
+
+    counts = jnp.sum(active, axis=1)
+    cells = jax.vmap(lambda a: _compact_ids_hier(a, mc, seg=32))(active)
+    cmask = jnp.arange(mc)[None, :] < counts[:, None]             # (B, mc)
+    cells = jnp.where(cmask, cells, 0)
+    gcells = (cells
+              + (jnp.arange(B, dtype=cells.dtype) * (mb * V))[:, None]
+              ).reshape(-1)                                       # (B*mc,)
+
+    mi = gcells // V                  # global compacted-row index [0, B*mb)
+    l = gcells % V
+    lx = l // (BLOCK * BLOCK)
+    ly = (l // BLOCK) % BLOCK
+    lz = l % BLOCK
+    vidx = mi // mb
+    bid = jnp.take(gids, mi) - vidx * rows_per        # volume-local block id
+    ix = bid // (by * bz)
+    iy = (bid // bz) % by
+    iz = bid % bz
+    baseT = jnp.stack([ix * BLOCK + lx, iy * BLOCK + ly, iz * BLOCK + lz],
+                      axis=0).astype(jnp.float32)                 # (3, C)
+    orgT = jnp.take(jnp.asarray(origins, jnp.float32), vidx, axis=0).T
+    posT = ((baseT[None, :, :] + _CORNERS.astype(np.float32)[:, :, None]
+             + 0.5) * voxel_size + orgT[None, :, :])              # (8, 3, C)
+
+    oh = jax.nn.one_hot(l, V, dtype=jnp.float32)
+    tvT = _cell_values(t8, mi, oh)
+    cf = color.reshape(B * rows_per, 3 * V)
+    cvT = jnp.stack(
+        [_cell_values(_corner_fields(_row_sets(
+            cf[:, c * V:(c + 1) * V], gids, ghalo)), mi, oh)
+         for c in range(3)], axis=1)
+    verts, cols, mask = _soup_from_corners(tvT, posT, cvT,
+                                           cmask.reshape(-1))
+    T = mc * 12
+    return (verts.reshape(B, T, 9), cols.reshape(B, T, 9),
+            mask.reshape(B, T))
+
+
 @partial(jax.jit, static_argnames=("max_blocks",))
 def _count_active_cells_block(vol, max_blocks: int):
     return jnp.sum(_block_active_cells(vol, max_blocks)[3], dtype=jnp.int32)
@@ -515,13 +593,18 @@ def extract_meshes_block(vols, max_blocks: int | None = None,
 
     Through the remote-chip tunnel a dispatch costs ~29 ms RTT, so
     extracting a multi-object scene's volumes one call at a time is
-    dispatch-bound; vmapping the block extraction amortizes it the same
-    way perception fuses K ticks per dispatch. Volumes may have different
-    origins (vmapped as a traced arg — bit-identical to the single path);
-    grid shape / voxel size / truncation must match. Capacities default to
-    the max of the per-volume auto configs."""
-    stacks, one, _, _ = batched_extract_setup(vols, max_blocks, max_cells)
-    return jax.vmap(one)(*stacks)
+    dispatch-bound; batching amortizes it the same way perception fuses K
+    ticks per dispatch. The volumes run as ONE flat problem (see
+    _extract_meshes_flat — 2.1x faster per volume than vmapping the
+    single path). Volumes may have different origins (traced per cell —
+    bit-identical to the single path); grid shape / voxel size /
+    truncation must match. Capacities default to the max of the
+    per-volume auto configs."""
+    stacks, _, mb, mc = batched_extract_setup(vols, max_blocks, max_cells)
+    v0 = vols[0]
+    return _extract_meshes_flat(*stacks, grid_blocks=v0.grid_blocks,
+                                voxel_size=v0.voxel_size,
+                                max_blocks=mb, max_cells=mc)
 
 
 def extract_mesh(vol, max_cells: int | None = None):
