@@ -231,9 +231,11 @@ def main():
     # hangs) — fail in ~2 min with a diagnostic line instead of letting
     # every child run out its stalled-compile timeouts
     # first contact after a relay outage has been observed to take ~60s for
-    # jax.devices() alone; give the cold attempt headroom before declaring
-    # the device unreachable
-    probe = _run_child("probe", timeouts=(90, 150))
+    # jax.devices() alone (75s measured once, with the box under full test
+    # load a (90, 150) probe budget timed out twice and zeroed the line);
+    # give the cold attempts real headroom before declaring the device
+    # unreachable — a dead relay now costs ~7 min instead of ~4
+    probe = _run_child("probe", timeouts=(120, 300))
     if "error" in probe:
         print(json.dumps({
             "metric": "vga_frames_fused_per_sec", "value": 0.0,

@@ -39,19 +39,23 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 if not _os.environ.get("OTSLAM_NO_COMPILE_CACHE"):
-    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.path.expanduser("~/.cache/otslam_tpu/xla"))
-    # threshold 0: through the tunnel even trivial eager ops pay a remote
-    # compile round-trip (~0.3-0.5 s each; a mission issues hundreds), so
-    # cache everything — entries are small and hits are local reads. Only
-    # off-CPU though: pure-CPU sessions (pytest, JAX_PLATFORMS=cpu
-    # missions) compile in sub-milliseconds and would pay serialization +
-    # disk I/O per trivial compile while growing the cache without bound.
+    # Off-CPU only: pure-CPU sessions (pytest, JAX_PLATFORMS=cpu missions)
+    # compile locally in sub-seconds AND XLA:CPU caches AOT machine code
+    # keyed without the host's CPU features — an entry written on one box
+    # loads on another with a "could lead to SIGILL" warning (observed when
+    # this cache crossed machine images). The cache exists for the remote
+    # TPU tunnel; keep CPU compiles out of it entirely.
     _plat = (getattr(_jax.config, "jax_platforms", None)
              or _os.environ.get("JAX_PLATFORMS", ""))
-    if _plat.strip().lower() != "cpu":
+    if (_plat or "").strip().lower() != "cpu":
+        if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/otslam_tpu/xla"))
+        # threshold 0: through the tunnel even trivial eager ops pay a
+        # remote compile round-trip (~0.3-0.5 s each; a mission issues
+        # hundreds), so cache everything — entries are small and hits are
+        # local reads.
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from otslam_tpu.config import OTSLAMConfig  # noqa: F401

@@ -427,6 +427,13 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and not os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR"):
+            # the package enables the persistent cache at import (the env
+            # still said axon/tpu then); XLA:CPU AOT entries are not keyed
+            # by host CPU features and can SIGILL across machine images —
+            # drop the cache for forced-CPU runs (see otslam_tpu/__init__)
+            jax.config.update("jax_compilation_cache_dir", None)
     {
         "reconstruct": _cmd_reconstruct,
         "check-frame": _cmd_check_frame,
