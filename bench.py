@@ -3,19 +3,28 @@
 Generates a synthetic object-scan sequence (cube viewed from a capture
 circle, rendered analytically), fuses it with the block-sparse Pallas path at
 the reference configuration (1 cm voxels, 4 cm truncation, 256^3 grid,
-640x480 frames), and prints one JSON line. Baseline = the BASELINE.json
-north-star target of 500 frames/s/chip (the reference publishes no
-throughput numbers; its Open3D CPU path measures ~10 f/s class).
+640x480 frames; workload contract:
+/root/reference/3d_model/reconstruct_rgbd_filter.py:91-105), and streams
+JSON lines. Baseline = the BASELINE.json north-star target of 500
+frames/s/chip (the reference publishes no throughput numbers; its Open3D
+CPU path measures ~10 f/s class).
 
-Structure: the parent process never touches the device — each measurement
-(fusion in its legacy and auto window configs, then the secondary metrics)
-runs in a TIMEOUT-BOUNDED CHILD process with one retry. Remote Pallas
-compiles through the axon tunnel occasionally stall; killing the child and
-retrying hits the persistent compile cache for everything that finished,
-so the bench self-heals instead of hanging with no output. The fusion
-configs are measured independently and the faster one is reported (the
-auto window knobs are a coverage construction, not a timing one).
+Output contract (round 4 — the driver captures stdout's tail, so the LAST
+complete line must always parse):
+  * every printed line is a FULL snapshot record with metric/value/unit/
+    vs_baseline, flushed the moment each measurement lands — a kill at any
+    point leaves the best-known state in the tail;
+  * the first line is emitted immediately (status "probing"), seeded from
+    the committed known-good record BENCH_TUNED.json with "cached" marks;
+  * an unreachable device yields a diagnostic + cached-numbers line in
+    ~3 minutes instead of a bare zero;
+  * each metric (fusion, icp, perception, mesh) runs in its OWN
+    timeout-bounded child process — one stalled remote compile costs one
+    metric, not the line. "measured" lists the metrics that ran fresh.
 
+The healthy path measures ONE fusion config, read from BENCH_TUNED.json
+(the tuned window knobs recorded by the last full run). Set
+OTSLAM_BENCH_FULL=1 to re-run the legacy/auto window A/B instead.
 Set OTSLAM_BENCH_PLATFORM=cpu to force the CPU path (the bare
 JAX_PLATFORMS env var is unreliable on this image).
 """
@@ -27,6 +36,21 @@ import sys
 import time
 
 import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+TUNED_PATH = os.path.join(_HERE, "BENCH_TUNED.json")
+BASELINE_FPS = 500.0
+
+# keys a full record carries, copied from the cached record at startup and
+# overwritten as fresh measurements land
+_METRIC_KEYS = {
+    "fusion": ("value", "vs_baseline", "fusion_config"),
+    "icp": ("icp_iterations_per_sec", "icp_unit", "icp_config"),
+    "perception": ("perception_ticks_per_sec", "perception_unit"),
+    "mesh": ("mesh_extracts_per_sec", "mesh_unit",
+             "mesh_block_extracts_per_sec", "mesh_block_unit",
+             "mesh_batch_extracts_per_sec", "mesh_batch_unit"),
+}
 
 
 def _make_frames(intr, n):
@@ -67,6 +91,9 @@ def _init_platform():
 
     if plat:
         jax.config.update("jax_platforms", plat)
+        from otslam_tpu._compile_cache import configure_compile_cache
+
+        configure_compile_cache(plat)
     return jax
 
 
@@ -90,8 +117,13 @@ def _child_setup(n_frames: int | None = None):
 
 
 def fusion_child(mode: str) -> None:
-    """Measure one fusion config ("auto" = workload-sized window knobs,
-    "legacy" = the 256-lane / 64-row defaults) and print a JSON line."""
+    """Measure one fusion config and print a JSON line.
+
+    mode "tuned": window knobs come from OTSLAM_BENCH_FUSION_CFG (the
+    committed BENCH_TUNED.json record) — no search passes, the healthy
+    fast path. mode "auto": workload-sized window-knob search. mode
+    "legacy": the 256-lane / 64-row defaults.
+    """
     on_tpu, intr, cfg, n, depths, colors, exts = _child_setup()
 
     from otslam_tpu.kernels.tsdf_block import make_block_volume
@@ -102,28 +134,45 @@ def fusion_child(mode: str) -> None:
                                                 integrate_frames_pallas,
                                                 near_fallback_counts)
 
-    # capacity + slab geometry sized to the workload (exact bounds from the
-    # scheduling pass; each knob keeps the coverage skip set unchanged, so
-    # shrinking the dots costs zero extra fallbacks)
     vol0 = make_block_volume(cfg)
-    max_active = auto_max_active(vol0, depths, exts, intr)
-    patch_rows = auto_patch_rows(vol0, depths, exts, intr, max_active,
-                                 interpret=not on_tpu)
-    depth_planes = 4
-    if mode == "auto":
-        depth_win, depth_planes = auto_depth_config(
-            vol0, depths, exts, intr, max_active, interpret=not on_tpu)
-        color_rows = auto_color_rows(vol0, depths, exts, intr, max_active,
-                                     interpret=not on_tpu,
-                                     depth_win=depth_win,
-                                     patch_rows=patch_rows,
-                                     depth_planes=depth_planes)
+    tuned = None
+    if mode == "tuned":
+        tuned = json.loads(os.environ.get("OTSLAM_BENCH_FUSION_CFG", "null"))
+        if not tuned:
+            mode = "auto"  # no committed record yet: fall back to the search
+    if tuned:
+        max_active = int(tuned["max_active"])
+        patch_rows = int(tuned["patch_rows"])
+        depth_win = tuned["depth_win"] or None
+        if depth_win == 256:
+            depth_win = None  # stored legacy default
+        color_rows = tuned["color_rows"] or None
+        if color_rows == 64:
+            color_rows = None
+        depth_planes = int(tuned.get("depth_planes", 4))
     else:
-        depth_win = None
-        color_rows = None
+        # capacity + slab geometry sized to the workload (exact bounds from
+        # the scheduling pass; each knob keeps the coverage skip set
+        # unchanged, so shrinking the dots costs zero extra fallbacks)
+        max_active = auto_max_active(vol0, depths, exts, intr)
+        patch_rows = auto_patch_rows(vol0, depths, exts, intr, max_active,
+                                     interpret=not on_tpu)
+        depth_planes = 4
+        if mode == "auto":
+            depth_win, depth_planes = auto_depth_config(
+                vol0, depths, exts, intr, max_active, interpret=not on_tpu)
+            color_rows = auto_color_rows(vol0, depths, exts, intr, max_active,
+                                         interpret=not on_tpu,
+                                         depth_win=depth_win,
+                                         patch_rows=patch_rows,
+                                         depth_planes=depth_planes)
+        else:
+            depth_win = None
+            color_rows = None
     # far-field workloads (this capture circle) have zero uncovered pairs,
-    # making near_field="skip" exact — verified here, untimed — and free of
-    # the fallback mode's mid-pipeline host sync
+    # making near_field="skip" exact — verified here every run (untimed;
+    # also guards a stale tuned record against kernel changes) — and free
+    # of the fallback mode's mid-pipeline host sync
     counts = np.asarray(near_fallback_counts(
         vol0.created, depths, exts, intr,
         (vol0.grid_blocks, vol0.origin, vol0.voxel_size, vol0.sdf_trunc),
@@ -152,62 +201,60 @@ def fusion_child(mode: str) -> None:
     print(json.dumps({
         "fps": round(n / best, 1), "patch_rows": patch_rows,
         "depth_win": depth_win or 256, "color_rows": color_rows or 64,
-        "depth_planes": depth_planes, "max_active": int(max_active)}))
+        "depth_planes": depth_planes, "max_active": int(max_active),
+        "near_field": near_field}), flush=True)
 
 
-def secondary_child() -> None:
-    """ICP, perception-tick, and mesh-extraction metrics in one child.
+def icp_child() -> None:
+    _init_platform()
+    import bench_icp
+
+    icp = bench_icp.measure()
+    out = {"icp_iterations_per_sec": icp["value"], "icp_unit": icp["unit"]}
+    if "icp_config" in icp:
+        out["icp_config"] = icp["icp_config"]
+    print(json.dumps(out), flush=True)
+
+
+def perception_child() -> None:
+    _init_platform()
+    out = {"perception_ticks_per_sec": measure_perception_ticks(),
+           "perception_unit": "ticks/s (1440 beams, 208^2 map, K=64)"}
+    print(json.dumps(out), flush=True)
+
+
+def mesh_child() -> None:
+    """Mesh-extraction metrics (dense, block-sparse sustained, batched).
     Only the 16 mesh-seed frames are generated (the full fusion batch is
     ~2 GB of host->device transfer this child never uses)."""
     on_tpu, intr, cfg, n, depths, colors, exts = _child_setup(n_frames=16)
     out = {}
-    try:
-        import bench_icp
-
-        icp = bench_icp.measure()
-        out["icp_iterations_per_sec"] = icp["value"]
-        out["icp_unit"] = icp["unit"]
-        if "icp_config" in icp:
-            out["icp_config"] = icp["icp_config"]
-    except Exception as e:
-        out["icp_error"] = repr(e)[:120]
-    try:
-        out["perception_ticks_per_sec"] = measure_perception_ticks()
-        out["perception_unit"] = "ticks/s (1440 beams, 208^2 map, K=64)"
-    except Exception as e:
-        out["perception_error"] = repr(e)[:120]
-    try:
-        out["mesh_extracts_per_sec"] = measure_mesh_extract(
-            depths, colors, exts, intr, cfg)
-        out["mesh_unit"] = "extractions/s (256^3 marching tetrahedra)"
-    except Exception as exc:
-        out["mesh_error"] = repr(exc)[:120]
-    try:
-        blk, batched = measure_mesh_block(depths, colors, exts, intr, cfg)
-        out["mesh_block_extracts_per_sec"] = blk
-        out["mesh_block_unit"] = ("extractions/s (256^3 grid, created "
-                                  "blocks only)")
-        out["mesh_batch_extracts_per_sec"] = batched
-        out["mesh_batch_unit"] = "extractions/s (8 volumes per dispatch)"
-    except Exception as exc:
-        out["mesh_block_error"] = repr(exc)[:120]
-    print(json.dumps(out))
+    out["mesh_extracts_per_sec"] = measure_mesh_extract(
+        depths, colors, exts, intr, cfg)
+    out["mesh_unit"] = "extractions/s (256^3 marching tetrahedra)"
+    blk, batched = measure_mesh_block(depths, colors, exts, intr, cfg)
+    out["mesh_block_extracts_per_sec"] = blk
+    out["mesh_block_unit"] = "extractions/s (256^3 grid, created blocks only)"
+    out["mesh_batch_extracts_per_sec"] = batched
+    out["mesh_batch_unit"] = "extractions/s (8 volumes per dispatch)"
+    print(json.dumps(out), flush=True)
 
 
-def _run_child(mode: str, timeouts=(900, 1500)):
+def _run_child(mode: str, timeouts=(240, 240), env=None):
     """Run `python bench.py --child MODE`, retrying once on a stall/timeout
     (the persistent compile cache makes the retry cheap for everything the
     first attempt finished compiling). Returns the child's parsed JSON, or
     {"error": ...} if both attempts fail."""
     err = "unknown"
+    child_env = dict(os.environ, **(env or {}))
     for t in timeouts:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", mode],
                 capture_output=True, text=True, timeout=t,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
+                cwd=_HERE, env=child_env)
         except subprocess.TimeoutExpired:
-            err = f"timeout after {t}s (stalled compile?); retried"
+            err = f"timeout after {t}s (stalled compile?)"
             continue
         lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
         if proc.returncode == 0 and lines:
@@ -223,54 +270,124 @@ def probe_child() -> None:
 
     d = jax.devices()[0]
     assert float((jnp.ones((8, 128)) * 2).sum()) == 2048.0
-    print(json.dumps({"platform": d.platform}))
+    print(json.dumps({"platform": d.platform}), flush=True)
+
+
+def _load_tuned():
+    try:
+        with open(TUNED_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _emit(snap):
+    print(json.dumps(snap), flush=True)
 
 
 def main():
-    # the axon relay has been observed fully down (even jax.devices()
-    # hangs) — fail in ~2 min with a diagnostic line instead of letting
-    # every child run out its stalled-compile timeouts
-    # first contact after a relay outage has been observed to take ~60s for
-    # jax.devices() alone (75s measured once, with the box under full test
-    # load a (90, 150) probe budget timed out twice and zeroed the line);
-    # give the cold attempts real headroom before declaring the device
-    # unreachable — a dead relay now costs ~7 min instead of ~4
-    probe = _run_child("probe", timeouts=(120, 300))
-    if "error" in probe:
-        print(json.dumps({
-            "metric": "vga_frames_fused_per_sec", "value": 0.0,
+    tuned = _load_tuned()
+    snap = {"metric": "vga_frames_fused_per_sec", "value": 0.0,
             "unit": "frames/s/chip", "vs_baseline": 0.0,
-            "device_unreachable": probe["error"]}))
+            "status": "probing", "measured": []}
+    if tuned:
+        # seed every field from the committed known-good record so a kill
+        # or dead relay still leaves real numbers (marked cached) in the tail
+        for keys in _METRIC_KEYS.values():
+            for k in keys:
+                if k in tuned:
+                    snap[k] = tuned[k]
+        snap["cached"] = True
+        snap["cached_from"] = tuned.get("recorded")
+        snap["cached_metrics"] = sorted(_METRIC_KEYS)
+    _emit(snap)
+
+    # the axon relay has been observed fully down (even jax.devices() hangs);
+    # first contact after an outage has taken ~75 s — two bounded attempts,
+    # then give up with the cached numbers + a diagnostic in ~3 min total
+    probe = _run_child("probe", timeouts=(110, 70))
+    if "error" in probe:
+        snap["status"] = "device_unreachable"
+        snap["device_unreachable"] = probe["error"]
+        _emit(snap)
         return
-    legacy = _run_child("fusion-legacy")
-    legacy["mode"] = "legacy"
-    auto = _run_child("fusion-auto")
-    auto["mode"] = "auto"
-    candidates = [r for r in (auto, legacy) if "fps" in r]
-    out = {"metric": "vga_frames_fused_per_sec", "unit": "frames/s/chip",
-           "platform": probe.get("platform")}
+    snap["platform"] = probe.get("platform")
+
+    def _landed(name):
+        snap["measured"].append(name)
+        cm = snap.get("cached_metrics")
+        if cm and name in cm:
+            cm.remove(name)
+            if not cm:
+                snap.pop("cached_metrics", None)
+                snap.pop("cached", None)
+                snap.pop("cached_from", None)
+
+    # --- fusion (the headline metric) ---
+    snap["status"] = "fusion"
+    full = os.environ.get("OTSLAM_BENCH_FULL")
+    results = []
+    if full:
+        for mode in ("fusion-auto", "fusion-legacy"):
+            r = _run_child(mode, timeouts=(900, 600))
+            r["mode"] = mode.split("-")[1]
+            results.append(r)
+    else:
+        env = {}
+        if tuned and "fusion_config" in tuned:
+            env["OTSLAM_BENCH_FUSION_CFG"] = json.dumps(tuned["fusion_config"])
+        r = _run_child("fusion-tuned", timeouts=(360, 300), env=env)
+        r["mode"] = "tuned"
+        results.append(r)
+    candidates = [r for r in results if "fps" in r]
     if candidates:
         best = max(candidates, key=lambda r: r["fps"])
-        out["value"] = best["fps"]
-        out["vs_baseline"] = round(best["fps"] / 500.0, 3)
-        out["fusion_config"] = {
+        snap["value"] = best["fps"]
+        snap["vs_baseline"] = round(best["fps"] / BASELINE_FPS, 3)
+        snap["fusion_config"] = {
             k: best[k] for k in ("patch_rows", "depth_win", "color_rows",
-                                 "depth_planes", "max_active")}
-        # keyed by child mode too: the auto search can resolve to the
-        # legacy geometry, and config-only keys would then collide
-        out["fusion_config"]["alternates"] = {
-            f"{r['mode']}_dw{r.get('depth_win')}p{r.get('depth_planes')}"
-            f"_cr{r.get('color_rows')}": r["fps"] for r in candidates}
+                                 "depth_planes", "max_active", "near_field")}
+        if len(candidates) > 1:
+            snap["fusion_config"]["alternates"] = {
+                f"{r['mode']}_dw{r.get('depth_win')}p{r.get('depth_planes')}"
+                f"_cr{r.get('color_rows')}": r["fps"] for r in candidates}
+        _landed("fusion")
     else:
-        out["value"] = 0.0
-        out["vs_baseline"] = 0.0
-        out["fusion_error"] = {"legacy": legacy.get("error"),
-                               "auto": auto.get("error")}
-    sec = _run_child("secondary", timeouts=(1200, 1500))
-    if "error" in sec:
-        out["secondary_error"] = sec.pop("error")
-    out.update(sec)
-    print(json.dumps(out))
+        snap["fusion_error"] = {r["mode"]: r.get("error") for r in results}
+    _emit(snap)
+
+    # --- secondary metrics, one child each ---
+    for name, mode, keys in (
+            ("icp", "icp", _METRIC_KEYS["icp"]),
+            ("perception", "perception", _METRIC_KEYS["perception"]),
+            ("mesh", "mesh", _METRIC_KEYS["mesh"])):
+        snap["status"] = name
+        r = _run_child(mode, timeouts=(300, 240))
+        if "error" in r:
+            snap[f"{name}_error"] = r["error"]
+        else:
+            snap.update(r)
+            _landed(name)
+        _emit(snap)
+
+    snap["status"] = "complete"
+    _emit(snap)
+
+    # refresh the committed known-good record after a fully-fresh TPU run
+    if (snap.get("platform") not in (None, "cpu")
+            and sorted(snap["measured"]) == sorted(_METRIC_KEYS)):
+        rec = {"recorded": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+               "platform": snap["platform"]}
+        for keys in _METRIC_KEYS.values():
+            for k in keys:
+                if k in snap:
+                    rec[k] = snap[k]
+        rec.get("fusion_config", {}).pop("alternates", None)
+        tmp = TUNED_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, TUNED_PATH)
 
 
 def measure_mesh_extract(d, c, e, intr, cfg, reps: int = 8) -> float:
@@ -418,8 +535,14 @@ if __name__ == "__main__":
             fusion_child("auto")
         elif mode == "fusion-legacy":
             fusion_child("legacy")
-        elif mode == "secondary":
-            secondary_child()
+        elif mode == "fusion-tuned":
+            fusion_child("tuned")
+        elif mode == "icp":
+            icp_child()
+        elif mode == "perception":
+            perception_child()
+        elif mode == "mesh":
+            mesh_child()
         elif mode == "probe":
             probe_child()
         else:

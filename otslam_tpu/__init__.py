@@ -30,32 +30,15 @@ import jax as _jax
 # inputs explicitly and are unaffected.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache: compiles through the remote-TPU tunnel cost
-# minutes (the fused K-tick perception program measured ~50 s, Pallas fusion
-# kernels longer), and every CLI invocation is a fresh process. The cache
-# verifiably round-trips through the axon plugin, turning cold mission/bench
-# starts into sub-second cache hits. Opt out with OTSLAM_NO_COMPILE_CACHE=1;
-# JAX_COMPILATION_CACHE_DIR (read natively by JAX) takes precedence.
+# Persistent compilation cache for (remote-)TPU sessions; pure-CPU or
+# platform-unresolved sessions stay out of it (cross-machine AOT SIGILL
+# hazard). Policy + rationale live in _compile_cache; CLI --platform and
+# __graft_entry__ call the same helpers so the decision stays consistent.
 import os as _os
 
-if not _os.environ.get("OTSLAM_NO_COMPILE_CACHE"):
-    # Off-CPU only: pure-CPU sessions (pytest, JAX_PLATFORMS=cpu missions)
-    # compile locally in sub-seconds AND XLA:CPU caches AOT machine code
-    # keyed without the host's CPU features — an entry written on one box
-    # loads on another with a "could lead to SIGILL" warning (observed when
-    # this cache crossed machine images). The cache exists for the remote
-    # TPU tunnel; keep CPU compiles out of it entirely.
-    _plat = (getattr(_jax.config, "jax_platforms", None)
-             or _os.environ.get("JAX_PLATFORMS", ""))
-    if (_plat or "").strip().lower() != "cpu":
-        if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-            _jax.config.update(
-                "jax_compilation_cache_dir",
-                _os.path.expanduser("~/.cache/otslam_tpu/xla"))
-        # threshold 0: through the tunnel even trivial eager ops pay a
-        # remote compile round-trip (~0.3-0.5 s each; a mission issues
-        # hundreds), so cache everything — entries are small and hits are
-        # local reads.
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from otslam_tpu._compile_cache import configure_compile_cache as _configure_cc
+
+_configure_cc(getattr(_jax.config, "jax_platforms", None)
+              or _os.environ.get("JAX_PLATFORMS", ""))
 
 from otslam_tpu.config import OTSLAMConfig  # noqa: F401

@@ -532,17 +532,83 @@ def _extract_meshes_lists(tsdfs, weights, colors, createds, origins,
                           max_blocks: int, max_cells: int):
     """One-dispatch batched extraction from per-volume arrays.
 
-    Stacks the B volumes' arrays IN-GRAPH before the flat extraction:
-    through the remote-chip tunnel each eager ``jnp.stack`` over device
-    arrays is its own ~29 ms dispatch, and staging tsdf/weight/color/
-    created separately cost more than the extraction itself (measured
-    153 ms vs 92 ms per 8-volume call). In-graph the stack is one HBM
-    copy (<1 ms at 256^3 x 8) and the whole call is ONE dispatch."""
-    return _extract_meshes_flat(
-        jnp.stack(tsdfs), jnp.stack(weights), jnp.stack(colors),
-        jnp.stack(createds), origins,
-        grid_blocks=grid_blocks, voxel_size=voxel_size,
-        max_blocks=max_blocks, max_cells=max_cells)
+    Keeps the whole call ONE dispatch (through the remote-chip tunnel each
+    eager ``jnp.stack`` over device arrays is its own ~29 ms round-trip)
+    WITHOUT stacking the full volumes in-graph: round 3 stacked
+    tsdf/weight/color into (B, rows, V) first, which at 256^3 x B=8 is
+    ~2.7 GB of pure HBM copy before the row gathers touch only ~mb rows
+    per volume — the measured reason the batched path lost to back-to-back
+    single dispatches (41/s vs 55-60/s on-chip). Here each volume's
+    compacted row sets gather from its OWN arrays and only those (B*mb,
+    512) row sets concatenate into the flat problem; the decode below is
+    _extract_meshes_flat's, so triangles stay bit-identical to
+    extract_mesh_soup_block per volume."""
+    from otslam_tpu.kernels.tsdf_block import BLOCK, BLOCK_VOXELS
+
+    bx, by, bz = grid_blocks
+    V = BLOCK_VOXELS
+    B = len(tsdfs)
+    rows_per = tsdfs[0].shape[0]
+    nb = rows_per - 1
+    mb, mc = max_blocks, max_cells
+
+    ids_list, rows_t, rows_w, rows_c = [], [], [], []
+    for b in range(B):
+        ids_b = compact_ids(createds[b][:nb], mb, nb)
+        halo_b = _block_halo_ids(grid_blocks, nb, ids_b)
+        ids_list.append(ids_b)
+        rows_t.append(_row_sets(tsdfs[b], ids_b, halo_b))
+        rows_w.append(_row_sets(weights[b], ids_b, halo_b))
+        rows_c.append([_row_sets(colors[b][:, c * V:(c + 1) * V], ids_b,
+                                 halo_b) for c in range(3)])
+
+    def cat(dicts):
+        return {k: jnp.concatenate([d[k] for d in dicts])
+                for k in dicts[0]}
+
+    ids = jnp.stack(ids_list)                                  # (B, mb)
+    t8 = _corner_fields(cat(rows_t))                           # (8, B*mb, 512)
+    w8 = _corner_fields(cat(rows_w))
+    valid = (ids < nb).reshape(-1)[:, None]
+    observed = jnp.all(w8 > 0, axis=0) & valid
+    neg = t8 < 0
+    mixed = jnp.any(neg, axis=0) & ~jnp.all(neg, axis=0)
+    active = (observed & mixed).reshape(B, mb * V)
+
+    counts = jnp.sum(active, axis=1)
+    cells = jax.vmap(lambda a: _compact_ids_hier(a, mc, seg=32))(active)
+    cmask = jnp.arange(mc)[None, :] < counts[:, None]          # (B, mc)
+    cells = jnp.where(cmask, cells, 0)
+    gcells = (cells
+              + (jnp.arange(B, dtype=cells.dtype) * (mb * V))[:, None]
+              ).reshape(-1)                                    # (B*mc,)
+
+    mi = gcells // V                  # global compacted-row index [0, B*mb)
+    l = gcells % V
+    lx = l // (BLOCK * BLOCK)
+    ly = (l // BLOCK) % BLOCK
+    lz = l % BLOCK
+    vidx = mi // mb
+    bid = jnp.take(ids.reshape(-1), mi)               # volume-local block id
+    ix = bid // (by * bz)
+    iy = (bid // bz) % by
+    iz = bid % bz
+    baseT = jnp.stack([ix * BLOCK + lx, iy * BLOCK + ly, iz * BLOCK + lz],
+                      axis=0).astype(jnp.float32)              # (3, C)
+    orgT = jnp.take(jnp.asarray(origins, jnp.float32), vidx, axis=0).T
+    posT = ((baseT[None, :, :] + _CORNERS.astype(np.float32)[:, :, None]
+             + 0.5) * voxel_size + orgT[None, :, :])           # (8, 3, C)
+
+    oh = jax.nn.one_hot(l, V, dtype=jnp.float32)
+    tvT = _cell_values(t8, mi, oh)
+    cvT = jnp.stack(
+        [_cell_values(_corner_fields(cat([rc[c] for rc in rows_c])), mi, oh)
+         for c in range(3)], axis=1)
+    verts, cols, mask = _soup_from_corners(tvT, posT, cvT,
+                                           cmask.reshape(-1))
+    T = mc * 12
+    return (verts.reshape(B, T, 9), cols.reshape(B, T, 9),
+            mask.reshape(B, T))
 
 
 @partial(jax.jit, static_argnames=("max_blocks",))
