@@ -303,9 +303,10 @@ def main():
     _emit(snap)
 
     # the axon relay has been observed fully down (even jax.devices() hangs);
-    # first contact after an outage has taken ~75 s — two bounded attempts,
-    # then give up with the cached numbers + a diagnostic in ~3 min total
-    probe = _run_child("probe", timeouts=(110, 70))
+    # first contact after an outage has taken 75-90 s idle and >110 s under
+    # host CPU load — two bounded attempts (the first warms the relay), then
+    # give up with the cached numbers + a diagnostic in ~4.5 min total
+    probe = _run_child("probe", timeouts=(170, 100))
     if "error" in probe:
         snap["status"] = "device_unreachable"
         snap["device_unreachable"] = probe["error"]

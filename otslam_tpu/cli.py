@@ -189,14 +189,24 @@ def _cmd_mission(args):
         print("note: per-tick missions are dispatch-bound on remote TPUs; "
               "use --perception-batch 8 (fused K-tick perception, one "
               "dispatch per K ticks) or JAX_PLATFORMS=cpu", flush=True)
+    import dataclasses as _dc
+
     from otslam_tpu.config import OTSLAMConfig, TrackerConfig
     from otslam_tpu.sim.runner import MissionRunner
     from otslam_tpu.sim.world import (
-        Scene, cardboard_room, cone_room, table_chair_room)
+        Box, Scene, cardboard_room, cone_room, full_room, table_chair_room)
 
     scenes = {"cardboard": cardboard_room, "cone": cone_room,
-              "table_chair": table_chair_room}
+              "table_chair": table_chair_room, "full": full_room}
     world = scenes[args.scenario]()
+    # --removed: the saved 2D map knows an object reality no longer has —
+    # the diff pipeline then reports REMOVED cells and the mission visits
+    # the removed-object check points (diff_node.cpp:131-158 semantics)
+    map_objects = ()
+    if args.removed:
+        map_objects = (Box((4.0, -4.0, 0.15), (0.5, 0.4, 0.3), 0.0,
+                           (0.7, 0.7, 0.7), "removed_box"),)
+    scene_map = _dc.replace(world, objects=map_objects)
     cfg = OTSLAMConfig(tracker=TrackerConfig.update_pipeline_profile())
     if args.goal_list:
         # scripted mission (goal_list.hpp equivalent): no perception loop,
@@ -204,7 +214,7 @@ def _cmd_mission(args):
         from otslam_tpu.mission.goal_list import load_goal_list
         goals = load_goal_list(args.goal_list)
         runner = MissionRunner(
-            scene_map=Scene(objects=()), scene_world=world,
+            scene_map=scene_map, scene_world=world,
             workdir=args.workdir, cfg=cfg,
             start_pose=tuple(float(v) for v in args.start.split(",")))
         s = runner.run_static(goals)
@@ -220,10 +230,12 @@ def _cmd_mission(args):
         # without the one-time compile of the fused perception program
         wd = args.workdir if rep == 0 else f"{args.workdir}_r{rep}"
         runner = MissionRunner(
-            scene_map=Scene(objects=()), scene_world=world,
+            scene_map=scene_map, scene_world=world,
             workdir=wd, cfg=cfg,
             start_pose=tuple(float(v) for v in args.start.split(",")),
-            perception_batch=args.perception_batch)
+            perception_batch=args.perception_batch,
+            odom_noise_per_m=args.odom_noise,
+            use_localizer=args.localizer)
         t0 = time.time()
         s = runner.run(max_ticks=args.max_ticks)
         wall = time.time() - t0
@@ -242,6 +254,9 @@ def _cmd_mission(args):
         "dataset": os.path.join(wd, "dataset"),
         "platform": jax.default_backend(),
         "perception_batch": args.perception_batch,
+        "removed_checks_visited": sorted(runner.sender.visited_removed_ids),
+        "use_localizer": args.localizer,
+        "odom_noise_per_m": args.odom_noise,
     })
     if len(runs) > 1:
         out["runs"] = runs
@@ -258,11 +273,11 @@ def _cmd_capture(args):
     from otslam_tpu.pipeline.dataset import CaptureDataset
     from otslam_tpu.core.se3 import T_FIX_OPTICAL
     from otslam_tpu.sim.sensors import render_rgbd
-    from otslam_tpu.sim.world import (cardboard_room, cone_room,
+    from otslam_tpu.sim.world import (cardboard_room, cone_room, full_room,
                                       table_chair_room)
 
     scenes = {"cardboard": cardboard_room, "cone": cone_room,
-              "table_chair": table_chair_room}
+              "table_chair": table_chair_room, "full": full_room}
     scene = scenes[args.scenario]()
     cfg = _load_cfg(args)
     intr = PinholeIntrinsics.from_config(cfg.camera)
@@ -311,10 +326,12 @@ def _cmd_headline(args):
 
     scene_fn = {"cardboard": world.cardboard_room,
                 "cone": world.cone_room,
-                "table_chair": world.table_chair_room}[args.scenario]
+                "table_chair": world.table_chair_room,
+                "full": world.full_room}[args.scenario]
     rep = headline_report(args.workdir, scene_fn=scene_fn,
                           frames_per_object=args.frames,
-                          room_frames=args.room_frames)
+                          room_frames=args.room_frames,
+                          objects_dir=args.objects_dir)
     print(json.dumps(rep, indent=2))
 
 
@@ -372,14 +389,14 @@ def main(argv=None):
     p = sub.add_parser("eval", help="accuracy/completeness vs GT")
     p.add_argument("--map", required=True)
     p.add_argument("--scenario", default="cardboard",
-                   choices=["cardboard", "cone", "table_chair"])
+                   choices=["cardboard", "cone", "table_chair", "full"])
     p.add_argument("--gt", default=None, help="GT ply (overrides scenario)")
     p.add_argument("--gt-samples", type=int, default=50000)
     p.add_argument("--icp", action="store_true")
 
     p = sub.add_parser("mission", help="run a closed-loop simulated mission")
     p.add_argument("--scenario", default="cardboard",
-                   choices=["cardboard", "cone", "table_chair"])
+                   choices=["cardboard", "cone", "table_chair", "full"])
     p.add_argument("--workdir", required=True)
     p.add_argument("--start", default="-2.0,-2.0,0.5")
     p.add_argument("--max-ticks", type=int, default=300)
@@ -397,10 +414,22 @@ def main(argv=None):
                         "('id, label, x, y, theta_deg' per line; the "
                         "goal_list.hpp equivalent) instead of the "
                         "detection-driven loop")
+    p.add_argument("--localizer", action="store_true",
+                   help="estimate the robot pose by scan-to-map ICP "
+                        "(slam_toolbox-localization equivalent) instead of "
+                        "trusting odometry")
+    p.add_argument("--odom-noise", type=float, default=0.0, metavar="M",
+                   help="odometry drift stddev per meter traveled "
+                        "(captures then carry estimated poses, like TF on "
+                        "the reference robot)")
+    p.add_argument("--removed", action="store_true",
+                   help="seed the saved 2D map with an object reality "
+                        "lacks, engaging the removed-object check-point "
+                        "pipeline (diff_node.cpp:131-158)")
 
     p = sub.add_parser("capture", help="manual RGB-D capture from a scenario")
     p.add_argument("--scenario", default="cardboard",
-                   choices=["cardboard", "cone", "table_chair"])
+                   choices=["cardboard", "cone", "table_chair", "full"])
     p.add_argument("--workdir", required=True)
     p.add_argument("--label", default="Object_0")
     p.add_argument("--pose", required=True, help="x,y,yaw")
@@ -419,21 +448,29 @@ def main(argv=None):
                        help="selective-vs-dense size/accuracy report")
     p.add_argument("--workdir", required=True)
     p.add_argument("--scenario", default="cardboard",
-                   choices=["cardboard", "cone", "table_chair"])
+                   choices=["cardboard", "cone", "table_chair", "full"])
     p.add_argument("--frames", type=int, default=12)
     p.add_argument("--room-frames", type=int, default=48)
+    p.add_argument("--objects-dir", default=None,
+                   help="use these reconstructed object PLYs (e.g. a "
+                        "mission dataset's 3d_reconst/) as the selective "
+                        "map instead of synthesizing capture circles — "
+                        "the report is then computed from mission-captured "
+                        "data")
 
     args = ap.parse_args(argv)
     if args.platform:
         import jax
+
+        from otslam_tpu._compile_cache import configure_compile_cache
+
         jax.config.update("jax_platforms", args.platform)
-        if args.platform == "cpu" and not os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR"):
-            # the package enables the persistent cache at import (the env
-            # still said axon/tpu then); XLA:CPU AOT entries are not keyed
-            # by host CPU features and can SIGILL across machine images —
-            # drop the cache for forced-CPU runs (see otslam_tpu/__init__)
-            jax.config.update("jax_compilation_cache_dir", None)
+        # re-apply the cache policy for the *forced* platform: the import-time
+        # decision keyed off the env (a cpu env + --platform tpu would
+        # otherwise silently lose the persistent-cache speedup, and an
+        # axon env + --platform cpu would poison the cache with CPU AOT
+        # entries — see otslam_tpu/_compile_cache)
+        configure_compile_cache(args.platform)
     {
         "reconstruct": _cmd_reconstruct,
         "check-frame": _cmd_check_frame,

@@ -173,6 +173,11 @@ class MissionConfig:
     control_rate_hz: float = 5.0
     scan_radius: float = 1.0         # ScanObject goal radius (manager_node.cpp:227)
     wait_time: float = 5.0           # camera stabilization wait (scanner_node.cpp:107)
+    # The reference retries a failed navigation goal forever
+    # (manager_node.cpp:202-207) and relies on Nav2 eventually succeeding;
+    # a goal that is physically unreachable (e.g. a visiting point inside a
+    # wall) would livelock the mission. Skip it after this many failures.
+    max_nav_failures: int = 3
 
 
 @dataclass(frozen=True)

@@ -81,41 +81,63 @@ def headline_report(workdir: str,
                     voxel_size: float = 0.01,
                     map_resolution: float = 0.05,
                     backend: str = "sparse",
-                    seed: int = 0) -> dict:
+                    seed: int = 0,
+                    objects_dir: str | None = None) -> dict:
     """Run the full selective-vs-dense comparison; returns the report dict.
 
     Defaults mirror reference operation: VGA-class camera, 1 cm voxels,
     100k sampled points per object PLY (reconstruct_rgbd_filter.py:123),
     5 cm 2D map. The dense baseline is the accumulated registered cloud of
     the room sweep (what RTAB-Map's map export stores).
+
+    objects_dir: when given, the selective map is the reconstructed object
+    PLYs already in that directory (e.g. a closed-loop mission dataset's
+    ``3d_reconst/``) instead of synthesized capture circles — the report is
+    then computed from mission-captured data. Per-object metrics associate
+    each cloud to the nearest scene object by XY centroid (the eval
+    scripts' manual object<->GT pairing, eval_table_chair.py:130-138).
     """
+    import glob
+    import types
+
     cam = cam or CameraConfig()    # reference VGA intrinsics by default
     scene = scene_fn()
     intr = PinholeIntrinsics.from_config(cam)
     os.makedirs(workdir, exist_ok=True)
-    objdir = os.path.join(workdir, "objects")
-    os.makedirs(objdir, exist_ok=True)
 
-    # --- 1. selective per-object reconstruction -------------------------
-    dims = (128, 128, 64) if voxel_size >= 0.01 else (256, 256, 128)
     prop_clouds = {}
-    for k, obj in enumerate(scene.objects):
-        center = np.asarray(obj.center, np.float64)
-        d, c, e = _capture_circle(scene, center, intr, frames_per_object)
-        side = dims[0] * voxel_size
-        cfg = ReconstructionConfig(
-            camera=cam,
-            tsdf=TSDFConfig(voxel_size=voxel_size, sdf_trunc=4 * voxel_size,
-                            dims=dims,
-                            origin=(float(center[0] - side / 2),
-                                    float(center[1] - side / 2), -0.02)),
-            surface_samples=object_samples)
-        vol = fuse_frames(d, c, e, intr, cfg, backend, densify=False)
-        res = extract_filtered_cloud(vol, cfg, seed=seed)
-        name = f"Object_{k}"
-        tio.write_ply(os.path.join(objdir, f"{name}.ply"), res.points,
-                      colors=res.colors)
-        prop_clouds[name] = res
+    if objects_dir is not None:
+        # --- 1'. selective map = mission-reconstructed PLYs --------------
+        objdir = objects_dir
+        for f in sorted(glob.glob(os.path.join(objects_dir, "*.ply"))):
+            data = tio.read_ply(f)
+            name = os.path.splitext(os.path.basename(f))[0]
+            prop_clouds[name] = types.SimpleNamespace(
+                points=np.asarray(data["points"]))
+        if not prop_clouds:
+            raise ValueError(f"no object PLYs in {objects_dir}")
+    else:
+        objdir = os.path.join(workdir, "objects")
+        os.makedirs(objdir, exist_ok=True)
+        # --- 1. selective per-object reconstruction ----------------------
+        dims = (128, 128, 64) if voxel_size >= 0.01 else (256, 256, 128)
+        for k, obj in enumerate(scene.objects):
+            center = np.asarray(obj.center, np.float64)
+            d, c, e = _capture_circle(scene, center, intr, frames_per_object)
+            side = dims[0] * voxel_size
+            cfg = ReconstructionConfig(
+                camera=cam,
+                tsdf=TSDFConfig(voxel_size=voxel_size,
+                                sdf_trunc=4 * voxel_size, dims=dims,
+                                origin=(float(center[0] - side / 2),
+                                        float(center[1] - side / 2), -0.02)),
+                surface_samples=object_samples)
+            vol = fuse_frames(d, c, e, intr, cfg, backend, densify=False)
+            res = extract_filtered_cloud(vol, cfg, seed=seed)
+            name = f"Object_{k}"
+            tio.write_ply(os.path.join(objdir, f"{name}.ply"), res.points,
+                          colors=res.colors)
+            prop_clouds[name] = res
 
     # --- 2. 2D map + hybrid map ----------------------------------------
     grid = scene.occupancy_grid(map_resolution)
@@ -155,12 +177,34 @@ def headline_report(workdir: str,
                   colors=np.asarray(ds_cols)[keep])
 
     # --- 4. metrics ------------------------------------------------------
+    def _cloud_for(k, obj):
+        """(cloud name, points) for a scene object: exact Object_k naming
+        for the synthesized path; nearest-centroid association (<=1.5 m)
+        for mission-reconstructed clouds, whose labels follow tracker ids,
+        not scene order."""
+        if objects_dir is None:
+            name = f"Object_{k}"
+            return name, prop_clouds[name].points
+        c = np.asarray(obj.center[:2], np.float64)
+        best, bestd = None, np.inf
+        for nm, r in prop_clouds.items():
+            d = float(np.linalg.norm(
+                np.median(r.points[:, :2], axis=0) - c))
+            if d < bestd:
+                best, bestd = nm, d
+        if bestd > 1.5:
+            return None, None
+        return best, prop_clouds[best].points
+
     report = {"objects": {}}
     for k, obj in enumerate(scene.objects):
-        name = f"Object_{k}"
+        name = f"{obj.name}" if objects_dir is not None else f"Object_{k}"
         gt = sample_object_surfaces([obj], 20000, seed=seed)
         gt = gt[gt[:, 2] >= 0.03]
-        prop = prop_clouds[name].points
+        cloud_name, prop = _cloud_for(k, obj)
+        if prop is None:
+            report["objects"][name] = {"scanned": False}
+            continue
         m_prop = evaluate_map(prop, gt)
         # dense-map points near this object (same crop the eval scripts
         # apply by re-centering: eval_cardboard.py:50-52)
@@ -168,7 +212,7 @@ def headline_report(workdir: str,
         near = (np.linalg.norm(dense_pts[:, :2] - c[None, :2], axis=1) < 1.0)
         near &= dense_pts[:, 2] >= 0.03
         m_dense = evaluate_map(dense_pts[near], gt)
-        report["objects"][name] = {
+        entry = {
             "proposal_accuracy_cm": round(float(m_prop.accuracy_cm), 3),
             "proposal_completeness_cm": round(
                 float(m_prop.completeness_cm), 3),
@@ -176,6 +220,9 @@ def headline_report(workdir: str,
             "dense_completeness_cm": round(
                 float(m_dense.completeness_cm), 3),
         }
+        if objects_dir is not None:
+            entry["cloud"] = cloud_name
+        report["objects"][name] = entry
 
     # combined-scene metrics (the eval_table_chair protocol evaluates the
     # whole proposal cloud against the whole-scene GT, not per object)

@@ -114,6 +114,49 @@ def cluster_points_host(pts, gap_threshold: float, max_clusters: int = 64):
     return labels, min(int(gap.sum()), max_clusters)
 
 
+def cluster_points_spatial_host(pts, distance_threshold: float,
+                                max_clusters: int = 64):
+    """Order-independent single-linkage clustering: points within
+    ``distance_threshold`` of each other (transitively) share a label.
+
+    The reference's goal selector gap-clusters the change-cell cloud in
+    *received order* (3_multi_object_goal_selector.cpp:178-190), but that
+    cloud is an unordered_map dump (diff_node.cpp:188-204) — with cells
+    from two distant objects interleaved (our evidence-grid compaction
+    emits row-major order), consecutive-pair clustering shatters each
+    object into per-row fragments that the wall-thickness filter then
+    rejects. Single-linkage implements the selector's documented intent
+    ("merge change clouds closer than the threshold into one object")
+    independent of cloud order; on scan-ordered input with separated
+    objects it produces the same partition as ``cluster_points_host``.
+
+    Labels are renumbered by first occurrence (matching the sequential
+    labeling on well-ordered input) and clamped to ``max_clusters`` like
+    the kernel. Host-side: the tracker clusters <= a few hundred cells.
+    """
+    import numpy as _np
+
+    pts = _np.asarray(pts, _np.float32).reshape(-1, 2)
+    n = len(pts)
+    if n == 0:
+        return _np.zeros(0, _np.int32), 0
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    adj = d2 <= _np.float32(distance_threshold) ** 2      # includes self
+    # connected components by iterative min-label propagation
+    labels = _np.arange(n)
+    while True:
+        nxt = _np.where(adj, labels[None, :], n).min(axis=1)
+        if _np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    # renumber by first occurrence, clamp overflow like the kernel
+    _, first_idx, inv = _np.unique(labels, return_index=True,
+                                   return_inverse=True)
+    order = _np.argsort(_np.argsort(first_idx))
+    labels = _np.minimum(order[inv], max_clusters - 1).astype(_np.int32)
+    return labels, min(len(first_idx), max_clusters)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def analyze_clusters(points: jnp.ndarray, labels: jnp.ndarray,
                      cfg: ClusterConfig) -> ClusterStats:

@@ -33,7 +33,8 @@ class LocalizationResult:
 
 class ScanLocalizer:
     def __init__(self, grid: OccupancyGrid2D, max_map_points: int = 20000,
-                 threshold: float = 0.3):
+                 threshold: float = 0.3, max_correction: float = 1.0,
+                 max_yaw_correction: float = 0.5):
         # occupied_world_points returns cell *origins* (the hybrid-map pixel
         # convention); registration wants cell centers
         pts2 = grid.occupied_world_points() + grid.resolution / 2.0
@@ -50,6 +51,13 @@ class ScanLocalizer:
         self._map_bounds = (nn_window_bounds(self._map_np)
                             if len(self._map_np) else None)
         self.threshold = threshold
+        # localization refines small odometry drift; a correction larger
+        # than this is a wrong-basin fit by construction (e.g. a degenerate
+        # scan in a symmetric room converging far away at high fitness —
+        # observed when a robot ended up against geometry) and the prior
+        # is returned instead
+        self.max_correction = max_correction
+        self.max_yaw_correction = max_yaw_correction
 
     def localize(self, ranges, angles, prior_pose,
                  max_iterations: int = 20) -> LocalizationResult:
@@ -94,5 +102,10 @@ class ScanLocalizer:
         cx, sx = np.cos(dyaw), np.sin(dyaw)
         nx = T[0, 3] + cx * x0 - sx * y0
         ny = T[1, 3] + sx * x0 + cx * y0
+        if (not np.isfinite([nx, ny, dyaw]).all()
+                or np.hypot(nx - x0, ny - y0) > self.max_correction
+                or abs(dyaw) > self.max_yaw_correction):
+            # wrong-basin / degenerate fit: keep the odometry prior
+            return LocalizationResult(x0, y0, yaw0, 0.0, float("inf"))
         return LocalizationResult(float(nx), float(ny), yaw0 + dyaw,
                                   float(res.fitness), float(res.inlier_rmse))

@@ -59,6 +59,27 @@ class GoalSender:
         self.current_object_focus: int = -1
         self.robot_x = 0.0
         self.robot_y = 0.0
+        self._nav_failures: dict = {}
+        self.skipped_ids: Set[int] = set()
+
+    def report_nav_failure(self, target: TargetPoint) -> None:
+        """Navigation to `target` failed (Nav2 aborted). After
+        cfg.max_nav_failures consecutive failures the point is marked
+        visited and skipped — a physically unreachable visiting point
+        (e.g. on a circle segment inside a wall) must not livelock the
+        mission (the reference retries forever, manager_node.cpp:202-207,
+        and leans on Nav2; see MissionConfig.max_nav_failures)."""
+        n = self._nav_failures.get(target.unique_id, 0) + 1
+        self._nav_failures[target.unique_id] = n
+        if n >= self.cfg.max_nav_failures:
+            self.skipped_ids.add(target.unique_id)
+            if target.is_removed:
+                self.visited_removed_ids.add(target.unique_id)
+            else:
+                self.visited_ids.add(target.unique_id)
+            if (self.active_target is not None
+                    and self.active_target.unique_id == target.unique_id):
+                self.active_target = None
 
     # --- subscriptions ------------------------------------------------------
 

@@ -49,6 +49,10 @@ class SystemManager:
         # (goal_list.hpp:8 GoalData.label); detection-driven missions use the
         # manager's Object_<id> convention (manager_node.cpp:225)
         self.label_lookup: dict[int, str] = {}
+        # optional nav-failure feedback to the goal queue (unreachable
+        # visiting points get skipped after repeated failures; see
+        # GoalSender.report_nav_failure)
+        self.nav_failure_cb: Callable | None = None
         # initial state: tracking enabled to find the first object
         self._set_tracking(True)
 
@@ -84,6 +88,8 @@ class SystemManager:
             # retry the exact same point; do NOT unfreeze
             self.first_goal_received = False
             self.state = ManagerState.IDLE
+            if self.nav_failure_cb is not None:
+                self.nav_failure_cb(target)
             return False
 
         # arrival: freeze for camera time, then scan

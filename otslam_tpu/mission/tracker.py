@@ -22,7 +22,7 @@ from typing import List, Sequence
 import numpy as np
 
 from otslam_tpu.config import TrackerConfig
-from otslam_tpu.kernels.cluster import cluster_points_host
+from otslam_tpu.kernels.cluster import cluster_points_spatial_host
 
 
 @dataclass
@@ -59,13 +59,17 @@ class ObjectTracker:
 
     def _cluster_observations(self, points_map: np.ndarray, now: float
                               ) -> List[TrackedCluster]:
-        """Gap-cluster map-frame points into raw observations
-        (3_multi_object_goal_selector.cpp:178-215)."""
+        """Cluster map-frame points into raw observations
+        (3_multi_object_goal_selector.cpp:178-215). Single-linkage spatial
+        clustering rather than the reference's received-order gap chaining:
+        the change cloud is an unordered grid dump, and order-dependent
+        chaining shatters interleaved distant objects into thin fragments
+        (see cluster_points_spatial_host)."""
         cfg = self.cfg
         if len(points_map) == 0:
             return []
         pts = np.asarray(points_map, np.float32).reshape(-1, 2)
-        labels, num = cluster_points_host(
+        labels, num = cluster_points_spatial_host(
             pts, cfg.cluster_distance_threshold)
         obs = []
         for k in range(int(num)):

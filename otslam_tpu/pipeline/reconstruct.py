@@ -185,25 +185,9 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
     'pgo' adds loop-closure edges with a pose-graph solve (the drift-robust
     default for long capture circles).
     """
-    import dataclasses as _dc
-
     cfg = cfg or ReconstructionConfig()
-    batch = ds.load_object(obj_name, frame_numbers)
-    intr = PinholeIntrinsics.from_config(ds.camera)
-    if auto_origin:
-        origin = auto_volume_origin(batch, intr, cfg)
-        cfg = _dc.replace(cfg, tsdf=_dc.replace(cfg.tsdf, origin=origin))
-    if refine != "none":
-        from otslam_tpu.pipeline.refine import (
-            refine_trajectory, refine_trajectory_f2m, refine_trajectory_pgo)
-        fn = {"icp": refine_trajectory, "f2m": refine_trajectory_f2m,
-              "pgo": refine_trajectory_pgo}[refine]
-        refined = fn(batch.depths, batch.colors, batch.extrinsics, intr, cfg)
-        batch = _dc.replace(batch, extrinsics=refined.extrinsics)
-    # sparse backends stay in block form for both outputs: extract_mesh and
-    # extract_filtered_cloud both extract directly from created blocks
-    vol = fuse_frames(batch.depths, batch.colors, batch.extrinsics, intr,
-                      cfg, backend, densify=False)
+    vol, batch = _fuse_object(ds, obj_name, cfg, backend, frame_numbers,
+                              auto_origin, refine)
     if output == "mesh":
         from otslam_tpu.kernels.marching import extract_mesh
         verts, faces, cols, normals = extract_mesh(vol)
@@ -219,6 +203,32 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
         tio.write_ply(os.path.join(save_dir, f"{obj_name}.ply"),
                       res.points, colors=res.colors, normals=res.normals)
     return res
+
+
+def _fuse_object(ds: CaptureDataset, obj_name: str,
+                 cfg: ReconstructionConfig, backend: str,
+                 frame_numbers=None, auto_origin: bool = False,
+                 refine: str = "none"):
+    """Load + (optionally) refine + fuse one object; returns (vol, batch).
+    Sparse backends stay in block form (extraction runs directly on created
+    blocks)."""
+    import dataclasses as _dc
+
+    batch = ds.load_object(obj_name, frame_numbers)
+    intr = PinholeIntrinsics.from_config(ds.camera)
+    if auto_origin:
+        origin = auto_volume_origin(batch, intr, cfg)
+        cfg = _dc.replace(cfg, tsdf=_dc.replace(cfg.tsdf, origin=origin))
+    if refine != "none":
+        from otslam_tpu.pipeline.refine import (
+            refine_trajectory, refine_trajectory_f2m, refine_trajectory_pgo)
+        fn = {"icp": refine_trajectory, "f2m": refine_trajectory_f2m,
+              "pgo": refine_trajectory_pgo}[refine]
+        refined = fn(batch.depths, batch.colors, batch.extrinsics, intr, cfg)
+        batch = _dc.replace(batch, extrinsics=refined.extrinsics)
+    vol = fuse_frames(batch.depths, batch.colors, batch.extrinsics, intr,
+                      cfg, backend, densify=False)
+    return vol, batch
 
 
 def reconstruct_range(ds: CaptureDataset,
@@ -239,6 +249,53 @@ def reconstruct_range(ds: CaptureDataset,
 def reconstruct_all(ds: CaptureDataset, cfg: ReconstructionConfig | None = None,
                     backend: str = "pallas", save_dir: str | None = None,
                     **kw) -> dict:
-    """Reconstruct every object found in the dataset (main() loop)."""
+    """Reconstruct every object found in the dataset (main() loop).
+
+    Multi-object mesh output on a block backend routes through ONE batched
+    extraction dispatch (marching.extract_meshes_block): welding fetches
+    every soup to the host anyway, and per-object dispatch+fetch through
+    the remote-chip tunnel costs ~29 ms RTT each — one dispatch + one
+    fetch replaces N. (Back-to-back async dispatches with a single sync
+    are ~35% faster per volume on-chip — bench.py measures both — but the
+    weld forces a per-volume sync, which is the case batching wins.)"""
+    names = ds.object_names()
+    if (kw.get("output") == "mesh" and len(names) > 1
+            and backend in ("pallas", "sparse")):
+        return _reconstruct_all_mesh_batched(ds, names, cfg, backend,
+                                             save_dir, **kw)
     return {name: reconstruct_object(ds, name, cfg, backend, save_dir, **kw)
             for name in ds.object_names()}
+
+
+def _reconstruct_all_mesh_batched(ds, names, cfg, backend, save_dir,
+                                  output="mesh", seed: int = 0,
+                                  z_filter: bool = True,
+                                  frame_numbers=None,
+                                  auto_origin: bool = False,
+                                  refine: str = "none") -> dict:
+    """Fuse each object, then extract every mesh in one batched dispatch.
+
+    Triangles are bit-identical to the per-object path (extract_meshes_block
+    contract; capacities are the max of the per-volume autos, and welding is
+    capacity-independent)."""
+    from otslam_tpu.kernels.marching import _weld_mesh, extract_meshes_block
+
+    cfg = cfg or ReconstructionConfig()
+    vols, batches = [], []
+    for name in names:
+        vol, batch = _fuse_object(ds, name, cfg, backend, frame_numbers,
+                                  auto_origin, refine)
+        vols.append(vol)
+        batches.append(batch)
+    verts_b, cols_b, masks_b = extract_meshes_block(vols)
+    out = {}
+    for i, name in enumerate(names):
+        verts, faces, cols, normals = _weld_mesh(verts_b[i], cols_b[i],
+                                                 masks_b[i])
+        res = ReconstructionResult(verts, cols, normals,
+                                   len(batches[i].names), len(verts))
+        if save_dir is not None:
+            tio.write_ply(os.path.join(save_dir, f"{name}.ply"),
+                          verts, colors=cols, normals=normals, faces=faces)
+        out[name] = res
+    return out

@@ -101,6 +101,9 @@ class MissionRunner:
         self.manager = SystemManager(
             self._navigate, self._scan_action, self._set_tracking,
             self.cfg.mission)
+        # unreachable visiting points (circle segments inside geometry) get
+        # skipped after repeated nav failures instead of livelocking
+        self.manager.nav_failure_cb = self.sender.report_nav_failure
         self.summary = MissionSummary()
         # observability: per-tick state trace (the RViz-marker equivalent)
         self.trace: List[dict] = []
@@ -114,8 +117,35 @@ class MissionRunner:
         self.tracker.set_tracking_mode(enabled)
         self.removed_tracker.set_tracking_mode(enabled)
 
+    def _goal_in_collision(self, gx: float, gy: float,
+                           robot_radius: float = 0.1) -> bool:
+        """True if the goal stands inside a world solid (walls included) or
+        outside the room — Nav2's planner fails such goals; the kinematic
+        teleport must not drive through geometry (a robot parked inside a
+        wall produces degenerate scans that can wreck localization)."""
+        from otslam_tpu.sim.world import Box
+
+        xmin, xmax, ymin, ymax = self.scene_world.room
+        if not (xmin + robot_radius < gx < xmax - robot_radius
+                and ymin + robot_radius < gy < ymax - robot_radius):
+            return True
+        for s in self.scene_world.objects:
+            if isinstance(s, Box):
+                c, sn = np.cos(-s.yaw), np.sin(-s.yaw)
+                lx = (gx - s.center[0]) * c - (gy - s.center[1]) * sn
+                ly = (gx - s.center[0]) * sn + (gy - s.center[1]) * c
+                if (abs(lx) <= s.size[0] / 2 + robot_radius
+                        and abs(ly) <= s.size[1] / 2 + robot_radius):
+                    return True
+            else:  # cylinder/cone footprint
+                if (np.hypot(gx - s.center[0], gy - s.center[1])
+                        <= s.radius + robot_radius):
+                    return True
+        return False
+
     def _navigate(self, gx: float, gy: float, gyaw: float) -> bool:
-        if self._fault_rng.random() < self.nav_failure_rate:
+        if (self._fault_rng.random() < self.nav_failure_rate
+                or self._goal_in_collision(gx, gy)):
             self.nav_failures += 1
             self.t += 2.0  # failed attempt still costs time
             return False

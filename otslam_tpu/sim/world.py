@@ -128,6 +128,32 @@ def cone_room() -> Scene:
     ))
 
 
+def full_room() -> Scene:
+    """The production 5-object-group scene: marble table + 4 chairs +
+    cardboard box + 2 cones in one large room, at the reference world's
+    absolute placements (cardboard_table_chairs_cones_room.world:249-378:
+    table (-2.23, -3.31), chairs (-1.71, -2.1) (-2.72, -2.1) (-1.68, -4.7)
+    (-2.84, -4.7), cardboard_box (5.98, 6.04), cones (-3.99, 6.08)
+    (-4.85, 5.23); the Gazebo room is 20x20 — 15x15 here keeps every
+    placement in-room while the LiDAR still reaches the far walls)."""
+    table = Box((-2.23, -3.31, 0.36), (1.4, 0.8, 0.72), 0.0,
+                (0.85, 0.85, 0.8), "table_marble")
+    chairs = tuple(
+        Box((x, y, 0.45), (0.45, 0.45, 0.9), yaw, (0.4, 0.25, 0.15),
+            f"chair_{i+1}")
+        for i, (x, y, yaw) in enumerate(
+            [(-1.71, -2.1, -np.pi / 2), (-2.72, -2.1, -np.pi / 2),
+             (-1.68, -4.7, np.pi / 2), (-2.84, -4.7, np.pi / 2)]))
+    box = Box((5.98, 6.04, 0.15), (0.5, 0.4, 0.3), 0.0, (0.76, 0.6, 0.42),
+              "cardboard_box")
+    cones = (Cone((-3.99, 6.08, 0.0), 0.16, 0.5, (0.2, 0.3, 0.9),
+                  "cone_blue"),
+             Cone((-4.85, 5.23, 0.0), 0.16, 0.5, (0.9, 0.35, 0.1),
+                  "cone_red"))
+    return Scene(objects=(table,) + chairs + (box,) + cones,
+                 room=(-7.5, 7.5, -7.5, 7.5))
+
+
 def table_chair_room() -> Scene:
     """Marble table + 4 chairs (eval_table_chair fixture,
     cardboard_table_chairs_cones_room.world:249-378)."""

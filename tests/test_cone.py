@@ -47,3 +47,40 @@ class TestConeScenario:
         # published (Gazebo): accuracy 2.48 cm, completeness 4.18 cm
         assert m.accuracy_cm < 2.48, m
         assert m.completeness_cm < 4.18, m
+
+    @pytest.mark.slow
+    def test_batched_mesh_output_matches_per_object(self, tmp_path):
+        """reconstruct_all(output='mesh') routes multi-object extraction
+        through ONE batched dispatch (extract_meshes_block); the welded
+        meshes must be identical to the per-object reconstruct_object
+        path (same triangles, capacity-independent welding)."""
+        from otslam_tpu.pipeline.reconstruct import reconstruct_object
+
+        scene = cone_room()
+        intr = PinholeIntrinsics.from_config(CAM)
+        ds = CaptureDataset(str(tmp_path), CAM)
+        for oi, cone in enumerate(scene.objects):
+            cx, cy, _ = cone.center
+            for i in range(6):
+                a = 2 * np.pi * i / 6
+                eye = np.array([cx + 0.9 * np.cos(a), cy + 0.9 * np.sin(a),
+                                0.55])
+                optical = look_at_pose(eye, np.array([cx, cy, 0.2]))
+                d, c = render_rgbd(scene, optical, intr, far=CAM.depth_max)
+                ds.save_frame(f"Object_{oi}", np.asarray(c).astype(np.uint8),
+                              np.asarray(d), optical @ T_FIX_OPTICAL.T)
+        cfg = ReconstructionConfig(
+            camera=CAM,
+            tsdf=TSDFConfig(voxel_size=0.02, sdf_trunc=0.08,
+                            dims=(64, 64, 64)))
+        out_b = reconstruct_all(ds, cfg, backend="sparse", output="mesh",
+                                save_dir=str(tmp_path / "meshes"),
+                                auto_origin=True)
+        assert len(out_b) == 2
+        for name in out_b:
+            ref = reconstruct_object(ds, name, cfg, backend="sparse",
+                                     output="mesh", auto_origin=True)
+            assert len(out_b[name].points) == len(ref.points) > 50
+            np.testing.assert_array_equal(out_b[name].points, ref.points)
+            np.testing.assert_array_equal(out_b[name].colors, ref.colors)
+        assert (tmp_path / "meshes" / "Object_0.ply").exists()

@@ -46,3 +46,52 @@ def test_headline_multi_object_table_chair(tmp_path):
     assert len(rep["objects"]) == 5
     assert rep["size_reduction_percent"] >= rep["reference_claim_percent"]
     assert rep["combined_accuracy_cm"] < 2.63
+
+
+def test_headline_from_mission_objects_dir(tmp_path):
+    """objects_dir mode: the report computes from pre-reconstructed PLYs
+    (the mission-captured-data path, VERDICT r3 #5) — clouds associate to
+    scene objects by centroid, and the size story still holds."""
+    import numpy as np
+
+    from otslam_tpu.core import io as tio
+    from otslam_tpu.eval.scenarios import sample_object_surfaces
+    from otslam_tpu.sim.world import cardboard_room
+
+    scene = cardboard_room()
+    objdir = tmp_path / "recon"
+    objdir.mkdir()
+    # stand-in for a mission reconstruction: exact sampled surface points
+    pts = sample_object_surfaces([scene.objects[0]], 5000, seed=1)
+    pts = pts[pts[:, 2] >= 0.03]
+    tio.write_ply(str(objdir / "Object_3.ply"), pts,
+                  colors=np.full_like(pts, 0.5))
+    rep = headline_report(str(tmp_path / "work"), room_frames=8,
+                          objects_dir=str(objdir))
+    m = rep["objects"]["cardboard_box"]
+    assert m["cloud"] == "Object_3"          # centroid association
+    assert m["proposal_accuracy_cm"] < 1.0   # exact surface points
+    assert rep["size_reduction_percent"] > 99.0
+    assert rep["hybrid_map_path"]
+
+
+def test_headline_objects_dir_unscanned_objects(tmp_path):
+    """Scene objects with no nearby reconstructed cloud report
+    scanned=False instead of mis-associating a distant cloud."""
+    import numpy as np
+
+    from otslam_tpu.core import io as tio
+    from otslam_tpu.eval.scenarios import sample_object_surfaces
+    from otslam_tpu.sim.world import cone_room
+
+    scene = cone_room()
+    objdir = tmp_path / "recon"
+    objdir.mkdir()
+    pts = sample_object_surfaces([scene.objects[0]], 3000, seed=1)
+    pts = pts[pts[:, 2] >= 0.03]
+    tio.write_ply(str(objdir / "Object_0.ply"), pts,
+                  colors=np.full_like(pts, 0.5))
+    rep = headline_report(str(tmp_path / "work"), scene_fn=cone_room,
+                          room_frames=8, objects_dir=str(objdir))
+    assert rep["objects"]["cone_1"]["cloud"] == "Object_0"
+    assert rep["objects"]["cone_2"] == {"scanned": False}

@@ -76,3 +76,19 @@ class TestScanLocalizerDegraded:
         res = loc.localize(scan, angles(), prior)
         assert np.hypot(res.x - true[0], res.y - true[1]) < 0.05
         assert abs(res.yaw - true[2]) < 0.03
+
+
+def test_wrong_basin_fit_returns_prior():
+    """A correction larger than max_correction is a wrong-basin fit by
+    construction (observed: a degenerate in-wall scan converging 15 m away
+    at fitness 1.0) — the localizer must return the odometry prior."""
+    scene = cardboard_room()
+    loc = ScanLocalizer(scene.occupancy_grid(0.05), max_correction=0.5)
+    real = render_lidar(scene, 0.0, 0.0, 0.0, angles(),
+                        LIDAR.range_min, LIDAR.range_max)
+    # prior deliberately far off: the fit either jumps a long way
+    # (rejected, prior returned) or can't move far enough to matter
+    prior = (3.5, 3.5, 2.0)
+    res = loc.localize(real, angles(), prior)
+    moved = np.hypot(res.x - prior[0], res.y - prior[1])
+    assert moved <= 0.5 + 1e-6

@@ -224,3 +224,121 @@ class TestScanner:
         sc = ScannerNode(ds, lambda: None, lambda: np.eye(4))
         res = sc.execute(ScanObjectGoal("Object_0", 0, 0))
         assert not res.success and "Timeout" in res.message
+
+
+class TestSpatialClustering:
+    """cluster_points_spatial_host: the tracker's order-independent
+    clustering (single-linkage) — the received-order gap chaining it
+    replaces shattered interleaved distant objects into thin per-row
+    fragments (round-4 full_room mission bug)."""
+
+    def test_interleaved_rows_cluster_by_object(self):
+        import numpy as np
+
+        from otslam_tpu.kernels.cluster import cluster_points_spatial_host
+
+        # two compact objects 10 m apart, cells interleaved row-major (the
+        # evidence-grid compaction order)
+        rows = []
+        for y in (0.0, 0.1, 0.2):
+            rows += [(-4.0, y), (-3.9, y), (6.0, y), (6.1, y)]
+        pts = np.asarray(rows, np.float32)
+        labels, num = cluster_points_spatial_host(pts, 4.0)
+        assert num == 2
+        left = labels[pts[:, 0] < 0]
+        right = labels[pts[:, 0] > 0]
+        assert len(set(left.tolist())) == 1
+        assert len(set(right.tolist())) == 1
+        assert left[0] != right[0]
+
+    def test_matches_sequential_on_scan_ordered_input(self):
+        import numpy as np
+
+        from otslam_tpu.kernels.cluster import (cluster_points_host,
+                                                cluster_points_spatial_host)
+
+        rng = np.random.default_rng(0)
+        # three well-separated objects, points in contiguous scan order
+        pts = np.concatenate([
+            rng.normal((0, 0), 0.1, (12, 2)),
+            rng.normal((5, 0), 0.1, (9, 2)),
+            rng.normal((0, 6), 0.1, (7, 2))]).astype(np.float32)
+        l_seq, n_seq = cluster_points_host(pts, 1.0)
+        l_sp, n_sp = cluster_points_spatial_host(pts, 1.0)
+        assert n_seq == n_sp == 3
+        np.testing.assert_array_equal(l_seq, l_sp)
+
+    def test_empty(self):
+        import numpy as np
+
+        from otslam_tpu.kernels.cluster import cluster_points_spatial_host
+
+        labels, num = cluster_points_spatial_host(
+            np.zeros((0, 2), np.float32), 1.0)
+        assert num == 0 and len(labels) == 0
+
+
+class TestNavFailureSkip:
+    """Unreachable goals must not livelock: the queue skips a target after
+    cfg.max_nav_failures failed navigations (the reference retries forever,
+    manager_node.cpp:202-207, leaning on Nav2 to eventually succeed)."""
+
+    def test_skip_after_max_failures(self):
+        from otslam_tpu.config import MissionConfig
+        from otslam_tpu.mission.goal_queue import GoalSender, TargetPoint
+
+        s = GoalSender(MissionConfig(max_nav_failures=3))
+        t = TargetPoint(7, 0, 5.0, 5.0, 0.0, False)
+        s.added_targets = [t]
+        s.on_odom(0.0, 0.0)
+        assert s.control_step() is t
+        for _ in range(2):
+            s.report_nav_failure(t)
+        assert 7 not in s.visited_ids
+        s.report_nav_failure(t)
+        assert 7 in s.visited_ids and 7 in s.skipped_ids
+        assert s.active_target is None
+        assert s.control_step() is None
+
+    def test_removed_target_skips_into_removed_set(self):
+        from otslam_tpu.config import MissionConfig
+        from otslam_tpu.mission.goal_queue import GoalSender, TargetPoint
+
+        s = GoalSender(MissionConfig(max_nav_failures=1))
+        t = TargetPoint(5003, 0, 5.0, 5.0, 0.0, True)
+        s.report_nav_failure(t)
+        assert 5003 in s.visited_removed_ids
+
+    def test_manager_reports_failure(self):
+        from otslam_tpu.config import MissionConfig
+        from otslam_tpu.mission.goal_queue import TargetPoint
+        from otslam_tpu.mission.manager import SystemManager
+
+        failed = []
+        m = SystemManager(lambda x, y, yaw: False, lambda *a: True,
+                          lambda e: None, MissionConfig())
+        m.nav_failure_cb = failed.append
+        t = TargetPoint(1, 0, 1.0, 1.0, 0.0, False)
+        assert m.on_goal(t) is False
+        assert failed == [t]
+
+
+class TestGoalCollision:
+    """_navigate refuses goals inside world geometry or outside the room
+    (Nav2-planner-failure equivalent): a teleport into a wall produced
+    degenerate scans that broke localization (round-4 full_room bug)."""
+
+    def test_goal_in_wall_fails_and_goal_in_free_space_succeeds(self, tmp_path):
+        from otslam_tpu.config import OTSLAMConfig
+        from otslam_tpu.sim.runner import MissionRunner
+        from otslam_tpu.sim.world import Box, Scene
+
+        scene = Scene(objects=(Box((1.0, 1.0, 0.2), (0.6, 0.6, 0.4), 0.0,
+                                   (0.5, 0.5, 0.5), "b"),))
+        r = MissionRunner(Scene(objects=()), scene, str(tmp_path),
+                          OTSLAMConfig())
+        assert r._navigate(0.0, -2.0, 0.0) is True
+        assert r._navigate(5.6, 0.0, 0.0) is False      # inside east wall
+        assert r._navigate(0.0, 8.0, 0.0) is False      # outside the room
+        assert r._navigate(1.0, 1.0, 0.0) is False      # inside the box
+        assert r.nav_failures == 3
