@@ -112,8 +112,11 @@ def headline_report(workdir: str,
         for f in sorted(glob.glob(os.path.join(objects_dir, "*.ply"))):
             data = tio.read_ply(f)
             name = os.path.splitext(os.path.basename(f))[0]
-            prop_clouds[name] = types.SimpleNamespace(
-                points=np.asarray(data["points"]))
+            pts = np.asarray(data["points"])
+            if len(pts) < 10:
+                # e.g. a removed-object check capture of an empty site
+                continue
+            prop_clouds[name] = types.SimpleNamespace(points=pts)
         if not prop_clouds:
             raise ValueError(f"no object PLYs in {objects_dir}")
     else:
@@ -179,20 +182,25 @@ def headline_report(workdir: str,
     # --- 4. metrics ------------------------------------------------------
     def _cloud_for(k, obj):
         """(cloud name, points) for a scene object: exact Object_k naming
-        for the synthesized path; nearest-centroid association (<=1.5 m)
-        for mission-reconstructed clouds, whose labels follow tracker ids,
-        not scene order."""
+        for the synthesized path; coverage association for
+        mission-reconstructed clouds (whose labels follow tracker ids, not
+        scene order) — the cloud with the most above-floor points within
+        1 m of the object's center. Centroid distance would mis-report
+        outer members of a merged group cloud (e.g. the far chairs of the
+        table group) as unscanned."""
         if objects_dir is None:
             name = f"Object_{k}"
             return name, prop_clouds[name].points
         c = np.asarray(obj.center[:2], np.float64)
-        best, bestd = None, np.inf
+        best, bestn = None, 0
         for nm, r in prop_clouds.items():
-            d = float(np.linalg.norm(
-                np.median(r.points[:, :2], axis=0) - c))
-            if d < bestd:
-                best, bestd = nm, d
-        if bestd > 1.5:
+            p = r.points
+            n = int(np.sum(
+                (np.linalg.norm(p[:, :2] - c[None], axis=1) < 1.0)
+                & (p[:, 2] >= 0.03)))
+            if n > bestn:
+                best, bestn = nm, n
+        if bestn < 50:
             return None, None
         return best, prop_clouds[best].points
 
@@ -205,21 +213,41 @@ def headline_report(workdir: str,
         if prop is None:
             report["objects"][name] = {"scanned": False}
             continue
+        if objects_dir is not None:
+            # a mission cloud covers a tracked GROUP (the tuned 4 m merge
+            # radius joins e.g. table + chairs into one object); crop to
+            # this object's neighborhood exactly like the dense side below
+            # (the eval scripts' re-centering crop, eval_cardboard.py:50-52)
+            cnear = (np.linalg.norm(
+                prop[:, :2] - np.asarray(obj.center)[None, :2], axis=1)
+                < 1.0)
+            cnear &= prop[:, 2] >= 0.03
+            if not cnear.any():
+                report["objects"][name] = {"scanned": False,
+                                           "cloud": cloud_name}
+                continue
+            prop = prop[cnear]
         m_prop = evaluate_map(prop, gt)
         # dense-map points near this object (same crop the eval scripts
         # apply by re-centering: eval_cardboard.py:50-52)
         c = np.asarray(obj.center)
         near = (np.linalg.norm(dense_pts[:, :2] - c[None, :2], axis=1) < 1.0)
         near &= dense_pts[:, 2] >= 0.03
-        m_dense = evaluate_map(dense_pts[near], gt)
         entry = {
             "proposal_accuracy_cm": round(float(m_prop.accuracy_cm), 3),
             "proposal_completeness_cm": round(
                 float(m_prop.completeness_cm), 3),
-            "dense_accuracy_cm": round(float(m_dense.accuracy_cm), 3),
-            "dense_completeness_cm": round(
-                float(m_dense.completeness_cm), 3),
         }
+        if near.any():
+            m_dense = evaluate_map(dense_pts[near], gt)
+            entry["dense_accuracy_cm"] = round(float(m_dense.accuracy_cm), 3)
+            entry["dense_completeness_cm"] = round(
+                float(m_dense.completeness_cm), 3)
+        else:
+            # the dense sweep never saw this object (occluded from the
+            # room-perimeter keyframes) — a genuine selective-vs-dense
+            # coverage difference, reported rather than crashed on
+            entry["dense_coverage"] = "none"
         if objects_dir is not None:
             entry["cloud"] = cloud_name
         report["objects"][name] = entry

@@ -114,29 +114,61 @@ def _pack_nn_operands(srcp, dstp, dmaskp):
     return lhs, rhs
 
 
-# the (24, mpad) f32 rhs lives whole in VMEM: beyond this many dst rows
-# (~96 B/row; ~1M rows ≈ 100 MB of v5e's 128 MB) the kernel cannot compile
-# and nn_distance routes to the XLA scan instead
+# the (24, mpad) f32 rhs lives whole in VMEM; past _DST_SLAB rows the full
+# kernel runs as a host-unrolled loop of slabs whose results min-combine
+# (exact, same lowest-index tie rule). A 362k-row rhs (34.8 MB) failed the
+# remote compile with a 93.4 MB scoped-vmem stack — the compiler stages a
+# layout copy of the whole operand, so the real footprint is ~2.7x rhs.
 _PALLAS_MAX_DST = 1_048_576
+_DST_SLAB = 81_920          # dc multiple; rhs slab 7.9 MB (~21 MB scoped)
+# the windowed (radius-limited) kernel also keeps the full rhs resident and
+# cannot slab (window starts address the whole axis): route bigger clouds
+# to the slabbed full kernel instead
+_WINDOWED_MAX_DST = 131_072
 
 
 def _nn_vmem_params(mpad: int, interpret: bool) -> dict:
     """compiler_params sized to the VMEM-resident rhs: the TPU compiler's
-    default 16 MiB scoped budget rejects clouds past ~170k dst rows at
+    default 16 MiB scoped budget rejects clouds past ~60k dst rows at
     compile time (same failure class as the fusion kernel's image
-    operands, see tsdf_pallas._update_active_blocks)."""
+    operands, see tsdf_pallas._update_active_blocks). The scoped stack
+    holds ~2.7x the rhs bytes (a staged layout copy of the operand plus
+    the resident buffer — measured 93.41 MB at a 34.8 MB rhs), so budget
+    3x + slack."""
     from jax.experimental.pallas import tpu as pltpu
 
     rhs_bytes = 24 * mpad * 4
-    if interpret or rhs_bytes <= 12 << 20:
+    if interpret or rhs_bytes * 3 <= 12 << 20:
         return {}
     return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=rhs_bytes + (8 << 20))}
+        vmem_limit_bytes=3 * rhs_bytes + (8 << 20))}
 
 
 def _nn_min_pallas(src, dstp, dmaskp, interpret: bool):
-    """(best_d2, best_i) via the fused Pallas kernel. dstp is chunk-padded;
-    masked/padded dst columns carry BIG in their d2 terms."""
+    """(best_d2, best_i) via the fused Pallas kernel, host-slabbed over dst
+    so the VMEM-resident rhs stays bounded at any cloud size. dstp is
+    chunk-padded; masked/padded dst columns carry BIG in their d2 terms.
+    Tie rule matches the single-slab kernel (lowest index wins: strict <
+    keeps the earlier slab's winner)."""
+    m = dstp.shape[0]
+    if m <= _DST_SLAB:
+        return _nn_min_pallas_slab(src, dstp, dmaskp, interpret)
+    best_d = best_i = None
+    for s in range(0, m, _DST_SLAB):
+        e = min(s + _DST_SLAB, m)
+        d_s, i_s = _nn_min_pallas_slab(src, dstp[s:e], dmaskp[s:e],
+                                       interpret)
+        i_s = i_s + s
+        if best_d is None:
+            best_d, best_i = d_s, i_s
+        else:
+            take = d_s < best_d
+            best_i = jnp.where(take, i_s, best_i)
+            best_d = jnp.where(take, d_s, best_d)
+    return best_d, best_i
+
+
+def _nn_min_pallas_slab(src, dstp, dmaskp, interpret: bool):
     from jax.experimental import pallas as pl
 
     n, m = src.shape[0], dstp.shape[0]
@@ -335,6 +367,13 @@ def nn_distance(src: jnp.ndarray, dst: jnp.ndarray,
     """
     n = src.shape[0]
     m = dst.shape[0]
+    if m == 0:
+        # no dst at all: the same sentinel an all-masked dst produces
+        smask0 = jnp.ones(n, bool) if src_mask is None else src_mask
+        dists = jnp.where(smask0, jnp.sqrt(_BIG), 0.0)
+        if with_index:
+            return dists, jnp.zeros(n, jnp.int32)
+        return dists
     pad = (-m) % chunk
     dstp = jnp.pad(dst, ((0, pad), (0, 0)))
     dmask = jnp.ones(m, bool) if dst_mask is None else dst_mask
@@ -396,7 +435,7 @@ def nn_distance_radius(src: jnp.ndarray, dst: jnp.ndarray, radius,
     on_tpu = jax.default_backend() != "cpu"
     use_pallas = on_tpu or bool(interpret)
     if (not use_pallas or window_chunks * _DST_CHUNK >= m
-            or m > _PALLAS_MAX_DST):
+            or m > _WINDOWED_MAX_DST):
         # nn_distance applies the same size routing (XLA scan past the
         # VMEM-resident rhs limit)
         return nn_distance(src, dst, src_mask, dst_mask, chunk=chunk,

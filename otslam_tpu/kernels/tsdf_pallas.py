@@ -284,6 +284,18 @@ FPC = 8  # frames per kernel call (share block row DMAs across frames).
 # sharing sweet spot up one notch; 12+ unions too many inactive pairs).
 
 
+def smem_max_active(fpc: int = FPC, smem_budget: int = 900_000) -> int:
+    """Largest max_active whose scalar-prefetch schedules fit in SMEM.
+
+    The kernel prefetches ids (A,) plus 5 frame-major (fpc*A,) i32 window
+    schedules and evec (fpc*12,) f32 into the 1 MiB scalar memory; the
+    budget leaves ~100 KiB for compiler internals (a 1.58 MiB request was
+    observed to fail remote compile with "Ran out of memory in memory
+    space smem"). Rounded down to a BPG multiple."""
+    rows = (smem_budget // 4 - fpc * 12) // (1 + 5 * fpc)
+    return max((rows // BPG) * BPG, BPG)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "intr", "vol_meta", "patch_rows", "color_rows", "full_color",
     "interpret", "win", "planes"))
@@ -1207,6 +1219,17 @@ def integrate_frames_pallas(vol: BlockTSDFVolume, depths: jnp.ndarray,
     if near_field not in ("fallback", "skip"):
         raise ValueError(
             f"near_field must be 'fallback' or 'skip': {near_field!r}")
+    if not interpret and max_active > smem_max_active():
+        # The per-(frame, block) schedule arrays live in SMEM (1 MiB/core):
+        # 4 bytes x max_active x (1 + 5*FPC) ints. A very large object (the
+        # full_room table group spans ~3 m -> ~9.9k active rows = 1.58 MiB)
+        # fails the remote compile with an SMEM OOM. The XLA block-sparse
+        # path has no static schedule and the same semantics (the Pallas
+        # kernel's tested contract is bf16-split tolerance against it), so
+        # route oversized workloads there instead of failing to compile.
+        from otslam_tpu.kernels.tsdf_block import integrate_frames_sparse
+        return integrate_frames_sparse(vol, depths, colors, extrinsics,
+                                       intr, max_active=max_active)
     depth_win = _validate_depth_win(depth_win, color_res, depth_planes)
     depths = jnp.asarray(depths)
     colors = jnp.asarray(colors)

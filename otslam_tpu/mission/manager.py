@@ -26,6 +26,11 @@ import numpy as np
 from otslam_tpu.config import MissionConfig
 from otslam_tpu.mission.goal_queue import TargetPoint
 
+# offset separating removed-check object ids from added ids in the
+# manager's freeze/label bookkeeping (the per-tracker indices both start
+# at 0); far above any realistic tracked-object count
+REMOVED_KEY_BASE = 100_000
+
 
 class ManagerState(enum.Enum):
     IDLE = 0
@@ -66,7 +71,12 @@ class SystemManager:
         if self.state != ManagerState.IDLE:
             return False
 
-        new_id = target.object_id
+        # removed-check targets live in their own id space: the selector's
+        # object indices restart per tracker, so added Object_0 and removed
+        # check 0 would otherwise share an id (and a capture label),
+        # polluting the added object's reconstruction frames
+        new_id = (target.object_id + REMOVED_KEY_BASE if target.is_removed
+                  else target.object_id)
         if new_id != self.current_obj_id:
             self._set_tracking(True)   # new object: live LiDAR search
         # same id: stay frozen
@@ -95,8 +105,11 @@ class SystemManager:
         # arrival: freeze for camera time, then scan
         self._set_tracking(False)
         self.state = ManagerState.SCANNING
-        label = self.label_lookup.get(self.current_obj_id,
-                                      f"Object_{self.current_obj_id}")
+        if self.current_obj_id >= REMOVED_KEY_BASE:
+            label = f"Removed_{self.current_obj_id - REMOVED_KEY_BASE}"
+        else:
+            label = self.label_lookup.get(self.current_obj_id,
+                                          f"Object_{self.current_obj_id}")
         self._scan(label, self.last_target_x, self.last_target_y,
                    self.cfg.scan_radius)
         # stay frozen until a new object id arrives (manager_node.cpp:246-248)

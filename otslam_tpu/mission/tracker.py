@@ -79,7 +79,12 @@ class ObjectTracker:
             mn = member.min(axis=0)
             mx = member.max(axis=0)
             w, h = float(mx[0] - mn[0]), float(mx[1] - mn[1])
-            if min(w, h) < cfg.wall_thickness_threshold:
+            # epsilon-tolerant thin test: the points are evidence-grid cell
+            # centers whose f32 coordinates differ by ulps across backends
+            # (origin + idx*res on TPU vs CPU), and an object spanning
+            # exactly the threshold (e.g. 3 cells = 0.30 m at the tuned
+            # 0.3 wall_thickness) must not flip between them
+            if min(w, h) < cfg.wall_thickness_threshold - 1e-4:
                 continue
             cx, cy = float((mn[0] + mx[0]) / 2), float((mn[1] + mx[1]) / 2)
             obs.append(TrackedCluster(

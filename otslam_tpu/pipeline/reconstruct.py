@@ -35,19 +35,11 @@ from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
 from otslam_tpu.pipeline.dataset import CaptureDataset
 
 
-def auto_volume_origin(batch, intr: PinholeIntrinsics,
-                       cfg: ReconstructionConfig) -> tuple:
-    """Center the object volume on the observed geometry.
-
-    Open3D's ScalableTSDFVolume is extent-free (hash map); our dense block
-    grid needs an origin. Estimate the object center by back-projecting a
-    sparse pixel subset of every frame into world space and averaging, then
-    place the grid so the center sits mid-volume (z aligned to start just
-    below the floor).
-    """
+def _observed_world_points(batch, intr: PinholeIntrinsics,
+                           stride: int = 8) -> np.ndarray:
+    """(P, 3) world points from a sparse pixel subset of every frame."""
     import numpy as _np
-    stride = 8
-    centers = []
+    pts = []
     for i in range(batch.depths.shape[0]):
         d = batch.depths[i, ::stride, ::stride]
         ok = d > 0
@@ -61,13 +53,103 @@ def auto_volume_origin(batch, intr: PinholeIntrinsics,
         y = (v - intr.cy) / intr.fy * z
         cam = _np.stack([x, y, z, _np.ones_like(z)])
         world = _np.linalg.inv(batch.extrinsics[i].astype(_np.float64)) @ cam
-        centers.append(world[:3].mean(axis=1))
-    c = _np.mean(centers, axis=0)
+        pts.append(world[:3].T)
+    return _np.concatenate(pts) if pts else _np.zeros((0, 3))
+
+
+def auto_volume_origin(batch, intr: PinholeIntrinsics,
+                       cfg: ReconstructionConfig) -> tuple:
+    """Center the object volume on the observed geometry.
+
+    Open3D's ScalableTSDFVolume is extent-free (hash map); our dense block
+    grid needs an origin. Estimate the object center by back-projecting a
+    sparse pixel subset of every frame into world space and averaging, then
+    place the grid so the center sits mid-volume (z aligned to start just
+    below the floor).
+    """
+    import numpy as _np
+    pts = _observed_world_points(batch, intr)
+    c = _np.mean(pts, axis=0)
     X, Y, Z = cfg.tsdf.dims
     vs = cfg.tsdf.voxel_size
     origin = (float(c[0] - X * vs / 2), float(c[1] - Y * vs / 2),
               float(min(c[2] - Z * vs / 2, -0.02)))
     return origin
+
+
+def auto_volume_config(batch, intr: PinholeIntrinsics,
+                       cfg: ReconstructionConfig,
+                       near_radius: float = 4.0,
+                       max_dim: int = 512) -> ReconstructionConfig:
+    """cfg with the volume origin AND dims fitted to the observed object.
+
+    Open3D's ScalableTSDFVolume grows unbounded (reconstruct_rgbd.py:79-83);
+    the dense block grid must size up-front, and a tracked GROUP (e.g. the
+    full_room table + chairs merged by the tuned 4 m cluster radius) can
+    exceed the default extent — frames then fuse into a volume that clips
+    the group's outer members. Extent comes from the 2nd/98th percentile of
+    floor-filtered observed points within the capture circle's own radius
+    of the ray-converged target center (captures also see floor, walls and
+    far background; the circle bounds the target by construction —
+    `near_radius` caps the crop), padded by 8 cells and bucketed to
+    64-cell multiples (bounds jit-cache variants) between the configured
+    dims and `max_dim`.
+    """
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    pts = _observed_world_points(batch, intr)
+    if not len(pts):
+        return _dc.replace(cfg, tsdf=_dc.replace(
+            cfg.tsdf, origin=auto_volume_origin(batch, intr, cfg)))
+    # the captures see the floor across the whole frustum; measure the
+    # OBJECT's extent above the z-filter plane (the same floor cut the
+    # output cloud applies, reconstruct_rgbd_filter.py:22,128)
+    above = pts[pts[:, 2] >= cfg.z_filter_threshold]
+    if len(above) >= 50:
+        pts = above
+    # target center = least-squares intersection of the capture circle's
+    # optical axes (every viewpoint faces the object,
+    # 3_multi_object_goal_selector.cpp:275-308 yaw=angle+pi); the circle's
+    # radius then bounds the object — background geometry (walls, other
+    # objects) beyond the cameras must not inflate the volume
+    E = _np.asarray(batch.extrinsics, _np.float64)
+    cams = -_np.einsum("nij,ni->nj", E[:, :3, :3], E[:, :3, 3])
+    axes = E[:, 2, :3]                     # optical +z rows of world->cam
+    A = _np.zeros((3, 3))
+    b = _np.zeros(3)
+    for ci, di in zip(cams, axes):
+        P = _np.eye(3) - _np.outer(di, di)
+        A += P
+        b += P @ ci
+    try:
+        c = _np.linalg.solve(A + 1e-9 * _np.eye(3), b)
+    except _np.linalg.LinAlgError:
+        c = _np.median(pts, axis=0)
+    cam_r = float(_np.median(
+        _np.linalg.norm(cams[:, :2] - c[None, :2], axis=1)))
+    # the circle stands off the object by the visiting buffer + lock margin
+    # (~0.7 m tuned): the object proper ends well inside cam_r, while walls
+    # behind it can sit just outside the circle — crop strictly inside
+    crop_r = min(max(cam_r - 0.5, 0.5), near_radius)
+    near = pts[_np.linalg.norm(pts[:, :2] - c[None, :2], axis=1) < crop_r]
+    if len(near) < 50:
+        near = pts
+    lo = _np.percentile(near, 2, axis=0)
+    hi = _np.percentile(near, 98, axis=0)
+    vs = cfg.tsdf.voxel_size
+    margin = 8 * vs
+    need = hi - lo + 2 * margin
+    dims = []
+    for k, base in enumerate(cfg.tsdf.dims):
+        cells = int(_np.ceil(need[k] / vs / 64.0)) * 64
+        dims.append(int(min(max(cells, base), max_dim)))
+    cx, cy = (lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2
+    origin = (float(cx - dims[0] * vs / 2), float(cy - dims[1] * vs / 2),
+              float(min(lo[2] - margin, -0.02)))
+    return _dc.replace(cfg, tsdf=_dc.replace(
+        cfg.tsdf, dims=tuple(dims), origin=origin))
 
 
 @dataclass
@@ -136,11 +218,20 @@ def extract_filtered_cloud(vol, cfg: ReconstructionConfig,
     """Surface extraction + uniform sampling + floor filter
     (reconstruct_rgbd_filter.py:119-134). Accepts dense or block volumes;
     block volumes extract sparsely (created blocks only)."""
+    from otslam_tpu.kernels.marching import _pow2_bucket
     from otslam_tpu.kernels.tsdf_block import (
         BlockTSDFVolume, extract_surface_points_sparse)
     if isinstance(vol, BlockTSDFVolume):
-        out = extract_surface_points_sparse(vol, capacity=capacity,
-                                            with_normals=with_normals)
+        # size the block capacity to the volume: the 8192 default silently
+        # truncates extraction block-major (= an x-cut through the cloud)
+        # once the created set outgrows it — observed on an auto-sized
+        # full_room table-group volume whose frustum sweep created ~20k
+        # blocks
+        nbk = max(int(jnp.sum(vol.created[:vol.num_blocks],
+                              dtype=jnp.int32)), 1)
+        out = extract_surface_points_sparse(
+            vol, capacity=capacity, with_normals=with_normals,
+            max_blocks=_pow2_bucket(nbk, 8192, 131072))
     else:
         out = extract_surface_points(vol, capacity=capacity,
                                      with_normals=with_normals)
@@ -217,8 +308,9 @@ def _fuse_object(ds: CaptureDataset, obj_name: str,
     batch = ds.load_object(obj_name, frame_numbers)
     intr = PinholeIntrinsics.from_config(ds.camera)
     if auto_origin:
-        origin = auto_volume_origin(batch, intr, cfg)
-        cfg = _dc.replace(cfg, tsdf=_dc.replace(cfg.tsdf, origin=origin))
+        # also auto-sizes dims up to the observed extent (a merged object
+        # group can exceed the configured volume — see auto_volume_config)
+        cfg = auto_volume_config(batch, intr, cfg)
     if refine != "none":
         from otslam_tpu.pipeline.refine import (
             refine_trajectory, refine_trajectory_f2m, refine_trajectory_pgo)
@@ -287,15 +379,24 @@ def _reconstruct_all_mesh_batched(ds, names, cfg, backend, save_dir,
                                   auto_origin, refine)
         vols.append(vol)
         batches.append(batch)
-    verts_b, cols_b, masks_b = extract_meshes_block(vols)
     out = {}
-    for i, name in enumerate(names):
-        verts, faces, cols, normals = _weld_mesh(verts_b[i], cols_b[i],
-                                                 masks_b[i])
-        res = ReconstructionResult(verts, cols, normals,
-                                   len(batches[i].names), len(verts))
-        if save_dir is not None:
-            tio.write_ply(os.path.join(save_dir, f"{name}.ply"),
-                          verts, colors=cols, normals=normals, faces=faces)
-        out[name] = res
+    # one batched dispatch per volume SHAPE (auto_volume_config can size
+    # dims per object; batched extraction needs same-shape volumes)
+    by_shape: dict = {}
+    for i, v in enumerate(vols):
+        by_shape.setdefault(v.grid_blocks, []).append(i)
+    for idxs in by_shape.values():
+        verts_b, cols_b, masks_b = extract_meshes_block(
+            [vols[i] for i in idxs])
+        for j, i in enumerate(idxs):
+            name = names[i]
+            verts, faces, cols, normals = _weld_mesh(verts_b[j], cols_b[j],
+                                                     masks_b[j])
+            res = ReconstructionResult(verts, cols, normals,
+                                       len(batches[i].names), len(verts))
+            if save_dir is not None:
+                tio.write_ply(os.path.join(save_dir, f"{name}.ply"),
+                              verts, colors=cols, normals=normals,
+                              faces=faces)
+            out[name] = res
     return out

@@ -349,6 +349,7 @@ class MissionRunner:
             else:
                 self.perception_tick()
         idle_ticks = 0
+        idle_passes = 0
         for tick in range(0, max_ticks, pb):
             if pb > 1:
                 self.perception_tick_batch(pb)
@@ -359,12 +360,18 @@ class MissionRunner:
                 if self.manager.on_goal(goal):
                     self.summary.missions_completed += 1
                 idle_ticks = 0
+                idle_passes = 0
             else:
-                # count in single-tick units (pb ticks elapsed this pass) so
-                # the >10 idle-shutdown threshold keeps its per-tick meaning
-                # under perception batching
+                # idle shutdown needs BOTH >10 ticks of idle sim time AND
+                # >=3 idle control passes: at large perception batches one
+                # pass already covers >10 ticks, and a single idle pass can
+                # coincide with a transiently-pruned tracked object (e.g. a
+                # removed-object site occluded from the current pose) whose
+                # targets would reappear next pass
                 idle_ticks += pb
-                if (idle_ticks > 10 and self.sender.pending_count() == 0
+                idle_passes += 1
+                if (idle_ticks > 10 and idle_passes >= 3
+                        and self.sender.pending_count() == 0
                         and tick >= min_ticks):
                     break
         self.summary.stable_objects = len(self.tracker.stable_objects)

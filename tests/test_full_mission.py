@@ -92,3 +92,67 @@ class TestFullRoomMission:
         res = reconstruct_object(ds, label, cfg=cfg, backend="sparse",
                                  auto_origin=True)
         assert len(res.points) > 200
+
+
+class TestAutoVolumeConfig:
+    """auto_volume_config sizes volume dims to the observed extent (a
+    merged table+chairs group exceeded the default 2.56 m volume, clipping
+    the outer chairs out of the reconstruction)."""
+
+    def _batch_for(self, scene, center, radius, n=6):
+        import types
+
+        from otslam_tpu.core.camera import PinholeIntrinsics
+        from otslam_tpu.sim.sensors import look_at_pose, render_rgbd
+
+        intr = PinholeIntrinsics.from_config(CAM)
+        ds_d, ds_e = [], []
+        for i in range(n):
+            a = 2 * np.pi * i / n
+            eye = np.array([center[0] + radius * np.cos(a),
+                            center[1] + radius * np.sin(a), 0.8])
+            opt = look_at_pose(eye, np.array([center[0], center[1], 0.4]))
+            d, c = render_rgbd(scene, opt, intr, far=5.0)
+            ds_d.append(np.asarray(d))
+            ds_e.append(np.linalg.inv(opt).astype(np.float32))
+        return types.SimpleNamespace(
+            depths=np.stack(ds_d), extrinsics=np.stack(ds_e),
+            names=[str(i) for i in range(n)]), intr
+
+    def test_wide_group_gets_bigger_volume(self):
+        from otslam_tpu.config import ReconstructionConfig, TSDFConfig
+        from otslam_tpu.pipeline.reconstruct import auto_volume_config
+        from otslam_tpu.sim.world import Scene, full_room
+
+        world = full_room()
+        group = Scene(objects=tuple(
+            o for o in world.objects if o.name.startswith(("table", "chair"))),
+            room=world.room)
+        batch, intr = self._batch_for(group, (-2.23, -3.31), 3.0)
+        cfg = ReconstructionConfig(
+            camera=CAM, tsdf=TSDFConfig(voxel_size=0.01, sdf_trunc=0.04,
+                                        dims=(256, 256, 128)))
+        fitted = auto_volume_config(batch, intr, cfg)
+        X, Y, Z = fitted.tsdf.dims
+        # the group spans ~3 m in y (chairs at -2.1 and -4.7): the fitted
+        # volume must grow past the 2.56 m default on that axis
+        assert Y > 256 and Y % 64 == 0
+        assert X >= 256 and Z >= 128
+        # the fitted volume covers every group object footprint
+        ox, oy, _ = fitted.tsdf.origin
+        for o in group.objects:
+            assert ox < o.center[0] < ox + X * 0.01
+            assert oy < o.center[1] < oy + Y * 0.01
+
+    def test_small_object_keeps_default_dims(self):
+        from otslam_tpu.config import ReconstructionConfig, TSDFConfig
+        from otslam_tpu.pipeline.reconstruct import auto_volume_config
+        from otslam_tpu.sim.world import cardboard_room
+
+        scene = cardboard_room()
+        batch, intr = self._batch_for(scene, (1.5, 0.5), 1.0)
+        cfg = ReconstructionConfig(
+            camera=CAM, tsdf=TSDFConfig(voxel_size=0.01, sdf_trunc=0.04,
+                                        dims=(128, 128, 64)))
+        fitted = auto_volume_config(batch, intr, cfg)
+        assert fitted.tsdf.dims == (128, 128, 64)

@@ -342,3 +342,40 @@ class TestGoalCollision:
         assert r._navigate(0.0, 8.0, 0.0) is False      # outside the room
         assert r._navigate(1.0, 1.0, 0.0) is False      # inside the box
         assert r.nav_failures == 3
+
+
+def test_removed_check_label_distinct_from_added():
+    """A removed-object check scan must not save under an added object's
+    label (both trackers' indices start at 0; a collision would pollute
+    the added object's reconstruction frames)."""
+    from otslam_tpu.config import MissionConfig
+    from otslam_tpu.mission.goal_queue import TargetPoint
+    from otslam_tpu.mission.manager import SystemManager
+
+    labels = []
+    m = SystemManager(lambda x, y, yaw: True,
+                      lambda label, x, y, r: labels.append(label) or True,
+                      lambda e: None, MissionConfig())
+    assert m.on_goal(TargetPoint(0, 0, 1.0, 1.0, 0.0, False))
+    assert m.on_goal(TargetPoint(5000, 0, 3.0, 3.0, 0.0, True))
+    assert labels == ["Object_0", "Removed_0"]
+
+
+def test_thin_filter_tolerant_to_cell_center_ulps():
+    """An object spanning exactly wall_thickness_threshold (3 grid cells =
+    0.30 m) must survive the thin filter regardless of f32 ulp noise in
+    the cell-center coordinates (observed: the same cells computed on TPU
+    gave span 0.2999997 vs 0.30000019 on CPU, flipping detection)."""
+    import numpy as np
+
+    from otslam_tpu.config import TrackerConfig
+    from otslam_tpu.mission.tracker import ObjectTracker
+
+    cfg = TrackerConfig(cluster_distance_threshold=4.0, min_cluster_points=1,
+                        wall_thickness_threshold=0.3)
+    tr = ObjectTracker(cfg)
+    ys = np.float32([-4.049999713897705, -3.8500001430511475, -3.75])
+    pts = np.stack([np.float32([3.75, 3.95, 4.25]), ys], -1)
+    assert float(pts[:, 1].max() - pts[:, 1].min()) < 0.3  # the ulp case
+    obs = tr._cluster_observations(pts, 0.0)
+    assert len(obs) == 1

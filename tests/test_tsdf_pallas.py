@@ -779,3 +779,36 @@ class TestFuzzParity:
         same = (ws == wp) & (ws > 0)
         np.testing.assert_allclose(tp[same], ts[same], atol=1e-3)
         assert np.array_equal(np.asarray(s.created), np.asarray(p.created))
+
+
+class TestSmemCapacityFallback:
+    """Schedules beyond the 1 MiB SMEM budget must route to the XLA
+    block-sparse path instead of failing the remote compile (observed: a
+    ~3 m full_room table-group object needed ~9.9k active rows = 1.58 MiB
+    of scalar-prefetch schedules and broke `reconstruct` on the chip)."""
+
+    def test_oversized_max_active_falls_back_exactly(self):
+        from otslam_tpu.kernels.tsdf_pallas import smem_max_active
+
+        depths, colors, exts = scene()
+        big = smem_max_active() + 8
+        # interpret=False on CPU would die inside pallas_call — the gate
+        # must intercept BEFORE any kernel is built, returning the sparse
+        # path's exact result
+        p = integrate_frames_pallas(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=big,
+                                    interpret=False)
+        s = integrate_frames_sparse(make_block_volume(CFG), depths, colors,
+                                    exts, INTR, max_active=big)
+        np.testing.assert_array_equal(np.asarray(p.tsdf), np.asarray(s.tsdf))
+        np.testing.assert_array_equal(np.asarray(p.weight),
+                                      np.asarray(s.weight))
+
+    def test_cap_is_sane(self):
+        from otslam_tpu.kernels.tsdf_pallas import FPC, smem_max_active
+
+        a = smem_max_active()
+        assert a % 8 == 0
+        # fits the budget with slack; bigger than the bench workload's 896
+        assert 4 * (a * (1 + 5 * FPC) + FPC * 12) <= 1_000_000
+        assert a >= 4096
