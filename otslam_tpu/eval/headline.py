@@ -94,8 +94,10 @@ def headline_report(workdir: str,
     PLYs already in that directory (e.g. a closed-loop mission dataset's
     ``3d_reconst/``) instead of synthesized capture circles — the report is
     then computed from mission-captured data. Per-object metrics associate
-    each cloud to the nearest scene object by XY centroid (the eval
-    scripts' manual object<->GT pairing, eval_table_chair.py:130-138).
+    each scene object with the cloud that covers it (most above-floor
+    points within 1 m — the headless analog of the eval scripts' manual
+    object<->GT pairing, eval_table_chair.py:130-138) and crop grouped
+    clouds to the object's neighborhood symmetrically with the dense side.
     """
     import glob
     import types

@@ -64,7 +64,7 @@ class GoalSender:
 
     def report_nav_failure(self, target: TargetPoint) -> None:
         """Navigation to `target` failed (Nav2 aborted). After
-        cfg.max_nav_failures consecutive failures the point is marked
+        cfg.max_nav_failures total failures the point is marked
         visited and skipped — a physically unreachable visiting point
         (e.g. on a circle segment inside a wall) must not livelock the
         mission (the reference retries forever, manager_node.cpp:202-207,

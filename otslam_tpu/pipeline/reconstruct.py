@@ -263,7 +263,8 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
                        frame_numbers: Sequence[int] | None = None,
                        output: str = "cloud",
                        auto_origin: bool = False,
-                       refine: str = "none") -> ReconstructionResult:
+                       refine: str = "none",
+                       auto_dims: bool | None = None) -> ReconstructionResult:
     """Full per-object pipeline; writes <save_dir>/<obj_name>.ply if asked.
 
     output='cloud': filtered sampled point cloud (reconstruct_rgbd_filter.py);
@@ -278,7 +279,7 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
     """
     cfg = cfg or ReconstructionConfig()
     vol, batch = _fuse_object(ds, obj_name, cfg, backend, frame_numbers,
-                              auto_origin, refine)
+                              auto_origin, refine, auto_dims)
     if output == "mesh":
         from otslam_tpu.kernels.marching import extract_mesh
         verts, faces, cols, normals = extract_mesh(vol)
@@ -299,7 +300,7 @@ def reconstruct_object(ds: CaptureDataset, obj_name: str,
 def _fuse_object(ds: CaptureDataset, obj_name: str,
                  cfg: ReconstructionConfig, backend: str,
                  frame_numbers=None, auto_origin: bool = False,
-                 refine: str = "none"):
+                 refine: str = "none", auto_dims: bool | None = None):
     """Load + (optionally) refine + fuse one object; returns (vol, batch).
     Sparse backends stay in block form (extraction runs directly on created
     blocks)."""
@@ -308,9 +309,17 @@ def _fuse_object(ds: CaptureDataset, obj_name: str,
     batch = ds.load_object(obj_name, frame_numbers)
     intr = PinholeIntrinsics.from_config(ds.camera)
     if auto_origin:
-        # also auto-sizes dims up to the observed extent (a merged object
-        # group can exceed the configured volume — see auto_volume_config)
-        cfg = auto_volume_config(batch, intr, cfg)
+        import dataclasses as _dc
+
+        if auto_dims is None or auto_dims:
+            # also auto-sizes dims up to the observed extent (a merged
+            # object group can exceed the configured volume — see
+            # auto_volume_config); auto_dims=False pins the configured
+            # dims (the sharded reconstruct paths' static-shape contract)
+            cfg = auto_volume_config(batch, intr, cfg)
+        else:
+            cfg = _dc.replace(cfg, tsdf=_dc.replace(
+                cfg.tsdf, origin=auto_volume_origin(batch, intr, cfg)))
     if refine != "none":
         from otslam_tpu.pipeline.refine import (
             refine_trajectory, refine_trajectory_f2m, refine_trajectory_pgo)
@@ -364,7 +373,8 @@ def _reconstruct_all_mesh_batched(ds, names, cfg, backend, save_dir,
                                   z_filter: bool = True,
                                   frame_numbers=None,
                                   auto_origin: bool = False,
-                                  refine: str = "none") -> dict:
+                                  refine: str = "none",
+                                  auto_dims: bool | None = None) -> dict:
     """Fuse each object, then extract every mesh in one batched dispatch.
 
     Triangles are bit-identical to the per-object path (extract_meshes_block
@@ -376,7 +386,7 @@ def _reconstruct_all_mesh_batched(ds, names, cfg, backend, save_dir,
     vols, batches = [], []
     for name in names:
         vol, batch = _fuse_object(ds, name, cfg, backend, frame_numbers,
-                                  auto_origin, refine)
+                                  auto_origin, refine, auto_dims)
         vols.append(vol)
         batches.append(batch)
     out = {}

@@ -176,8 +176,10 @@ class TestObjectParallel:
         got = reconstruct_all_sharded(ds, cfg, mesh, seed=3)
         assert sorted(got) == ["Object_0", "Object_1"]
         for name, res in got.items():
+            # auto_dims=False: the sharded path's static-shape contract
             ref = reconstruct_object(ds, name, cfg, backend="dense",
-                                     auto_origin=True, seed=3)
+                                     auto_origin=True, auto_dims=False,
+                                     seed=3)
             assert res.num_frames == ref.num_frames
             assert abs(res.raw_surface_count - ref.raw_surface_count) \
                 <= 0.01 * ref.raw_surface_count + 5
@@ -212,6 +214,29 @@ class TestSparseDataParallel:
     multi-chip path (VERDICT r2 missing #1). Workload contract:
     reconstruct_rgbd_filter.py:91-105."""
 
+    def test_sharded_sparse_smoke(self, eight_devices):
+        """Cheap fast-tier representative: 2 frames over 2 devices match
+        the single-chip Pallas path exactly (the full 8-frame parity +
+        creation-prefix suites run in the slow tier)."""
+        from otslam_tpu.distributed.sparse import (
+            fuse_frames_sparse_data_parallel)
+        from otslam_tpu.kernels.tsdf_block import make_block_volume
+        from otslam_tpu.kernels.tsdf_pallas import integrate_frames_pallas
+
+        mesh = make_mesh((2,), ("data",), eight_devices[:2])
+        d, c, e = sparse_frames(2)
+        got = fuse_frames_sparse_data_parallel(
+            make_block_volume(CFG), d, c, e, INTR, mesh, max_active=128,
+            interpret=True)
+        ref = integrate_frames_pallas(
+            make_block_volume(CFG), d, c, e, INTR, max_active=128,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got.weight),
+                                   np.asarray(ref.weight), atol=0)
+        np.testing.assert_allclose(np.asarray(got.tsdf),
+                                   np.asarray(ref.tsdf), atol=1e-4)
+
+    @pytest.mark.slow
     def test_matches_single_chip_pallas(self, eight_devices):
         from otslam_tpu.distributed.sparse import (
             auto_max_active_sharded, fuse_frames_sparse_data_parallel)
@@ -413,8 +438,12 @@ class TestSparseObjectParallel:
                                              max_active=512, interpret=True)
         assert sorted(got) == ["Object_0", "Object_1"]
         for name, res in got.items():
+            # auto_dims=False: the sharded path's static-shape contract
+            # (every device shares one volume shape; serial auto_origin
+            # would otherwise fit dims per object)
             ref = reconstruct_object(ds, name, cfg, backend="pallas",
-                                     auto_origin=True, seed=3)
+                                     auto_origin=True, auto_dims=False,
+                                     seed=3)
             assert res.num_frames == ref.num_frames
             assert abs(res.raw_surface_count - ref.raw_surface_count) \
                 <= 0.01 * ref.raw_surface_count + 5
@@ -440,6 +469,7 @@ class TestShardedExtraction:
         v3 = dc.replace(v1, tsdf=-v1.tsdf)
         return [v1, v2, v3]
 
+    @pytest.mark.slow
     def test_matches_single_path(self, eight_devices):
         from otslam_tpu.distributed.sparse import extract_meshes_sharded
         from otslam_tpu.kernels.marching import extract_mesh_soup_block

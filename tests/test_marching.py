@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from otslam_tpu.config import TSDFConfig
 from otslam_tpu.core import io as tio
@@ -178,6 +179,7 @@ class TestBlockPath:
         v, f, c, n = extract_mesh(make_block_volume(cfg))
         assert len(v) == 0 and len(f) == 0
 
+    @pytest.mark.slow
     def test_batched_matches_single(self):
         """extract_meshes_block (B volumes, one dispatch) must reproduce
         the per-volume single-call soups bit-exactly, including distinct

@@ -59,6 +59,7 @@ class TestOnlineFusion:
         assert total + of.dropped_frames == n
         assert of.frames_fused == total
 
+    @pytest.mark.slow
     def test_incremental_equals_batch(self):
         """Streaming in two drains == one batch (order preserved)."""
         import jax.numpy as jnp
@@ -84,3 +85,17 @@ class TestOnlineFusion:
                                    np.asarray(ref.tsdf), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(of.volume.weight),
                                       np.asarray(ref.weight))
+
+
+class TestOnlineFusionFast:
+    def test_small_session_smoke(self):
+        """Fast-tier representative: a 2-frame session fuses and extracts
+        (the full batch-equality/threaded suites run in the slow tier)."""
+        of = OnlineFusion(CFG, INTR, batch=2, max_active=256)
+        for i in range(2):
+            of.push(*frame(i))
+        assert of.drain() == 2
+        pts, cols, mask = of.extract(capacity=50_000, max_blocks=512)
+        pts = np.asarray(pts)[np.asarray(mask)]
+        assert len(pts) > 100
+        assert float(of.volume.weight.max()) == 2.0

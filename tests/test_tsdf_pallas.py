@@ -67,6 +67,7 @@ class TestPallasKernel:
 
 
 class TestFullResColor:
+    @pytest.mark.slow
     def test_full_color_matches_gather_path_exactly(self):
         """color_res='full' reuses the depth one-hot at full resolution —
         bf16 holds 0..255 integers exactly, so color parity is EXACT."""
@@ -123,6 +124,7 @@ class TestNearField:
         exts = jnp.asarray(np.eye(4, dtype=np.float32))[None]
         return depths, colors, exts
 
+    @pytest.mark.slow
     def test_fallback_matches_gather_path(self):
         depths, colors, exts = self._near_scene()
         s = integrate_frames_sparse(make_block_volume(self.CFG_NEAR), depths,
@@ -266,6 +268,7 @@ class TestNon128Width:
         exts = jnp.asarray(np.eye(4, dtype=np.float32))[None]
         return depths, colors, exts
 
+    @pytest.mark.slow
     def test_half_res_color_parity_at_w320(self):
         depths, colors, exts = self._scene()
         s = integrate_frames_sparse(make_block_volume(self.CFG_320), depths,
@@ -316,6 +319,7 @@ class TestAutoPatchRows:
         np.testing.assert_array_equal(np.asarray(p_small.color),
                                       np.asarray(p_def.color))
 
+    @pytest.mark.slow
     def test_too_small_slab_falls_back_exactly(self):
         """A hand-forced undersized slab must route uncovered pairs through
         the exact fallback — zero lost integrations, same weights."""
@@ -482,7 +486,7 @@ class TestDepthWin:
         np.testing.assert_array_equal(np.asarray(p2.color),
                                       np.asarray(p_def.color))
 
-    def test_non_8_multiple_height_falls_back_to_classic_window(self):
+    def test_non_8_multiple_height_knob_logic(self):
         """The shifted-plane select is a dynamic sublane start plane*H +
         pvf whose 8-alignment promise needs 8 | H — for other heights
         depth_win=128 must quietly become the classic 256 window (win=128
@@ -491,6 +495,9 @@ class TestDepthWin:
         assert _win_planes(128, 384, 288) == (128, 4)
         assert _win_planes(128, 384, 100) == (min(DEPTH_WIN, 384), 1)
         assert _win_planes(None, 384, 100) == (min(DEPTH_WIN, 384), 1)
+
+    @pytest.mark.slow
+    def test_non_8_multiple_height_falls_back_e2e(self):
         # end-to-end at H=100: same result as an explicit classic window
         intr = PinholeIntrinsics(256, 100, 120.0, 120.0, 128.0, 50.0)
         cfg = TSDFConfig(voxel_size=0.02, sdf_trunc=0.08, dims=(32, 32, 32),
