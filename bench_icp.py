@@ -1,14 +1,38 @@
 """Secondary benchmark: ICP correspondence+solve iterations per second.
 
 Point-to-point ICP at eval scale (50k source x 50k target points, the
-eval-script working set) with a fixed iteration count; reports iterations/s.
-(The driver's headline metric lives in bench.py; run this manually.)
+eval-script working set; workload contract:
+/root/reference/eval/eval_table_chair/eval_table_chair.py:90-104) with fixed
+iteration counts; reports iterations/s.
+
+Rate methodology (round 5): wall time through the axon tunnel carries a
+~29 ms fixed RTT per dispatch chain, so the device rate is the SLOPE of
+time vs iteration count, not count/time. Round 4's two-point slope with a
+``max(delta, 1e-6)`` clamp manufactured 45,000,000 iters/s from a negative
+timing delta; the estimator now lives in
+otslam_tpu/utils/rate_estimate.py — a least-squares fit over three counts
+with plausibility gates (positive slope, residual bound, physical ceiling)
+and retry-on-rejection, unit-tested with injected timings
+(tests/test_rate_estimate.py). A failed fit falls back to the
+RTT-polluted average rate, clearly labeled — never a fabricated number.
 """
 
 import json
 import time
 
 import numpy as np
+
+from otslam_tpu.utils.rate_estimate import (average_rate_fallback,
+                                            measure_marginal_rate)
+
+# v5e HBM bandwidth ~819 GB/s; one ICP iteration must at minimum stream both
+# clouds once ((n_src + n_dst) * 3 coords * 4 bytes), so rates above
+# BW / traffic are measurement failures, not fast kernels.
+HBM_BYTES_PER_SEC = 819e9
+
+
+def _ceiling(n_src: int, n_dst: int) -> float:
+    return HBM_BYTES_PER_SEC / ((n_src + n_dst) * 3 * 4)
 
 
 def measure() -> dict:
@@ -21,10 +45,6 @@ def measure() -> dict:
 
     on_tpu = jax.devices()[0].platform != "cpu"
     n = 50_000 if on_tpu else 2_000
-    # enough iterations that the ~29 ms tunnel RTT is amortized out of the
-    # per-iteration rate (the micro-benchmark trap, CLAUDE.md): at 20 iters
-    # the fixed dispatch cost alone under-reported the device rate by ~25%
-    iters = 60 if on_tpu else 20
     rng = np.random.default_rng(0)
     src = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
     th = 0.02
@@ -39,51 +59,86 @@ def measure() -> dict:
     window, axis = auto_nn_window(src, dst, 0.3)
 
     def run(iters_, **kw):
-        res = icp_point_to_point(
+        return icp_point_to_point(
             jnp.asarray(src), jnp.asarray(dst), threshold=0.3,
             max_iterations=iters_, relative_fitness=0.0, relative_rmse=0.0,
             chunk=4096, **kw)
-        return res
 
-    def timed(iters_, **kw):
-        res = run(iters_, **kw)
-        _ = float(res.inlier_rmse)
-        best = float("inf")
-        for _i in range(3):
-            t0 = time.time()
+    spreads = {}
+
+    def make_timed(tag, **kw):
+        # best-of-3 per count; per-count spread recorded so the JSON line
+        # self-describes the session's tunnel weather (VERDICT r4 weak #3)
+        def timed(iters_):
             res = run(iters_, **kw)
-            _ = float(res.inlier_rmse)
-            best = min(best, time.time() - t0)
-        return best, res
+            _ = float(res.inlier_rmse)        # compile + sync
+            samples = []
+            for _i in range(3):
+                t0 = time.time()
+                res = run(iters_, **kw)
+                _ = float(res.inlier_rmse)
+                samples.append(time.time() - t0)
+            spreads.setdefault(tag, {})[iters_] = [round(s, 4)
+                                                   for s in samples]
+            return min(samples)
+        return timed
 
     if on_tpu:
-        # marginal (two-point) rate: a single timed run carries the fixed
-        # ~29 ms tunnel RTT + dispatch, which at windowed-NN speed would be
-        # ~25% of the wall clock — the micro-benchmark trap (CLAUDE.md).
-        # The slope between two iteration counts is the device throughput.
-        lo = iters // 4
-        kw = {"nn_window": window, "nn_axis": axis}
-        t_lo, _ = timed(lo, **kw)
-        t_hi, res = timed(iters, **kw)
-        windowed_rate = round((iters - lo) / max(t_hi - t_lo, 1e-6), 1)
-        f_lo, _ = timed(lo)
-        f_hi, _res_full = timed(iters)
-        full_rate = round((iters - lo) / max(f_hi - f_lo, 1e-6), 1)
+        counts = (15, 30, 60)
+        ceil = _ceiling(n, n)
+        est_win = measure_marginal_rate(
+            make_timed("windowed", nn_window=window, nn_axis=axis),
+            counts, attempts=3, ceiling=ceil)
+        est_full = measure_marginal_rate(
+            make_timed("full_scan"), counts, attempts=3, ceiling=ceil)
+        res = run(counts[-1], nn_window=window, nn_axis=axis)
+        rmse = float(res.inlier_rmse)
+
+        def rate_or_fallback(est, tag):
+            if est.ok:
+                return round(est.rate, 1), "marginal"
+            t_big = spreads.get(tag, {}).get(counts[-1])
+            fb = average_rate_fallback(counts[-1], min(t_big) if t_big
+                                       else float("nan"), ceiling=ceil)
+            return (round(fb, 1) if fb is not None else None), "fallback_avg"
+
+        windowed_rate, win_kind = rate_or_fallback(est_win, "windowed")
+        full_rate, full_kind = rate_or_fallback(est_full, "full_scan")
+        # headline: best OK marginal estimate; a failed fit never outranks a
+        # clean one, and two failed fits surface the labeled fallback
+        ok_rates = [r for r, e in ((windowed_rate, est_win),
+                                   (full_rate, est_full)) if e.ok and r]
+        if ok_rates:
+            value = max(ok_rates)
+        else:
+            value = max([r for r in (windowed_rate, full_rate) if r],
+                        default=0.0)
+        cfg = {"nn_window": window, "nn_axis": axis,
+               "windowed": windowed_rate, "windowed_kind": win_kind,
+               "full_scan": full_rate, "full_scan_kind": full_kind,
+               "estimator": {"windowed": est_win.to_json(),
+                             "full_scan": est_full.to_json()},
+               "rep_spread_s": spreads}
     else:
         # off-TPU nn_distance_radius falls back to the exact path: the two
-        # configs are the same computation, measure once (no tunnel RTT to
-        # subtract on the local backend)
-        t, res = timed(iters)
-        windowed_rate = full_rate = round(int(res.iterations) / t, 1)
-    value = max(windowed_rate, full_rate)
+        # configs are the same computation, and there is no tunnel RTT to
+        # subtract on the local backend — average rate of one run is exact
+        iters = 20
+        timed = make_timed("cpu")
+        t = timed(iters)
+        res = run(iters)
+        rmse = float(res.inlier_rmse)
+        value = round(int(res.iterations) / t, 1)
+        cfg = {"nn_window": window, "nn_axis": axis,
+               "windowed": value, "full_scan": value,
+               "rep_spread_s": spreads}
 
     return {
         "metric": "icp_iterations_per_sec",
         "value": value,
         "unit": f"iters/s at {n}x{n} points (marginal)",
-        "final_rmse_m": round(float(res.inlier_rmse), 6),
-        "icp_config": {"nn_window": window, "nn_axis": axis,
-                       "windowed": windowed_rate, "full_scan": full_rate},
+        "final_rmse_m": round(rmse, 6),
+        "icp_config": cfg,
     }
 
 
