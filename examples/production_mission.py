@@ -54,7 +54,7 @@ def main(workdir: str) -> dict:
         start_pose=(0.5, 4.5, 0.0),
         odom_noise_per_m=0.01, use_localizer=True,
         perception_batch=64 if jax.default_backend() != "cpu" else 8)
-    summary = runner.run(max_ticks=12000)
+    summary = runner.run(max_ticks=24000)
     print(f"mission: {summary.missions_completed} missions, labels "
           f"{summary.labels}, removed checks visited "
           f"{sorted(runner.sender.visited_removed_ids)}")

@@ -136,6 +136,23 @@ class TrackerConfig:
     points_count_normal: int = 6         # adaptive-count: small objects
     points_count_big: int = 8            # adaptive-count: big objects
     degree_visiting_points: float = 10.0  # degree-step: angular interval (deg)
+    # Group member sub-segmentation (0.0 = off). The tuned 4 m cluster
+    # radius deliberately merges e.g. table + 4 chairs into ONE tracked
+    # object (the reference's association behavior) — but a single capture
+    # circle around the merged group reconstructs outer members from far
+    # oblique views (25-30 cm accuracy vs the published 2.63 cm). With a
+    # positive threshold, each group's evidence cells are single-linkage
+    # sub-clustered at this (smaller) distance and every member gets its
+    # own capture circle + scan label, reproducing the reference's
+    # per-object eval-scan geometry while keeping group-level tracking.
+    member_distance_threshold: float = 0.0
+    # circle sizing for member scans: members use this margin instead of
+    # lock_margin. 1.0 m puts a 0.45 m chair's camera at ~1.42 m — the
+    # closest distance from which a 0.3 m-high camera still sees a 0.9 m
+    # object top inside the VGA vertical half-FOV (atan(cy/fy) ~ 23 deg:
+    # 0.3 + 0.425 * 1.42 = 0.90 m); the tuned 1.5 m group margin would
+    # push it past 1.9 m for no completeness gain
+    member_lock_margin: float = 1.0
 
     @classmethod
     def update_pipeline_profile(cls) -> "TrackerConfig":
@@ -149,6 +166,13 @@ class TrackerConfig:
             lock_margin=1.5,
             smoothing_factor=1.0,
             visiting_point_buffer=0.1,
+            # per-member capture circles inside merged groups: 0.35 m
+            # separates the full_room table/chair footprints (smallest
+            # inter-member CELL-CENTER gap is ~0.46 m once the 0.1 m
+            # evidence-grid discretization eats up to a cell from the
+            # 0.56 m footprint gap) while staying far above the 0.14 m
+            # diagonal spacing of cells inside one body
+            member_distance_threshold=0.35,
         )
 
     @classmethod

