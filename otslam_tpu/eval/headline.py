@@ -182,6 +182,20 @@ def headline_report(workdir: str,
                   colors=np.asarray(ds_cols)[keep])
 
     # --- 4. metrics ------------------------------------------------------
+    # whole-scene GT, also used per object: ACCURACY is evaluated against
+    # the LOCAL SCENE surfaces (all objects within the crop + margin), not
+    # the object's own surfaces alone — a member capture legitimately
+    # contains neighboring scene content (a chair's 1 m crop includes the
+    # table 0.8 m away), and scoring those correct points against
+    # chair-only GT reported 22-30 cm for 1-3 cm reconstructions.
+    # COMPLETENESS stays against the object's OWN surfaces (how well is
+    # THIS object covered). The published table+chair numbers are combined
+    # whole-cloud metrics (eval_table_chair.py evaluates the full scene
+    # cloud), reported below as combined_*.
+    gt_all = sample_object_surfaces(list(scene.objects),
+                                    20000 * len(scene.objects), seed=seed)
+    gt_all = gt_all[gt_all[:, 2] >= 0.03]
+
     def _cloud_for(k, obj):
         """(cloud name, points) for a scene object: exact Object_k naming
         for the synthesized path; coverage association for
@@ -211,15 +225,21 @@ def headline_report(workdir: str,
         name = f"{obj.name}" if objects_dir is not None else f"Object_{k}"
         gt = sample_object_surfaces([obj], 20000, seed=seed)
         gt = gt[gt[:, 2] >= 0.03]
+        c = np.asarray(obj.center)
+        # local scene GT for the accuracy side: crop radius + margin so a
+        # proposal point at the crop edge still finds its true nearest
+        # surface inside the GT set
+        gt_near = gt_all[np.linalg.norm(
+            gt_all[:, :2] - c[None, :2], axis=1) < 1.2]
         cloud_name, prop = _cloud_for(k, obj)
         if prop is None:
             report["objects"][name] = {"scanned": False}
             continue
         if objects_dir is not None:
-            # a mission cloud covers a tracked GROUP (the tuned 4 m merge
-            # radius joins e.g. table + chairs into one object); crop to
-            # this object's neighborhood exactly like the dense side below
-            # (the eval scripts' re-centering crop, eval_cardboard.py:50-52)
+            # a mission cloud covers a capture site (a member of a tracked
+            # group, or a whole merged group); crop to this object's
+            # neighborhood exactly like the dense side below (the eval
+            # scripts' re-centering crop, eval_cardboard.py:50-52)
             cnear = (np.linalg.norm(
                 prop[:, :2] - np.asarray(obj.center)[None, :2], axis=1)
                 < 1.0)
@@ -229,22 +249,23 @@ def headline_report(workdir: str,
                                            "cloud": cloud_name}
                 continue
             prop = prop[cnear]
-        m_prop = evaluate_map(prop, gt)
+        m_acc = evaluate_map(prop, gt_near)
+        m_comp = evaluate_map(prop, gt)
         # dense-map points near this object (same crop the eval scripts
         # apply by re-centering: eval_cardboard.py:50-52)
-        c = np.asarray(obj.center)
         near = (np.linalg.norm(dense_pts[:, :2] - c[None, :2], axis=1) < 1.0)
         near &= dense_pts[:, 2] >= 0.03
         entry = {
-            "proposal_accuracy_cm": round(float(m_prop.accuracy_cm), 3),
+            "proposal_accuracy_cm": round(float(m_acc.accuracy_cm), 3),
             "proposal_completeness_cm": round(
-                float(m_prop.completeness_cm), 3),
+                float(m_comp.completeness_cm), 3),
         }
         if near.any():
-            m_dense = evaluate_map(dense_pts[near], gt)
-            entry["dense_accuracy_cm"] = round(float(m_dense.accuracy_cm), 3)
+            m_dacc = evaluate_map(dense_pts[near], gt_near)
+            m_dcomp = evaluate_map(dense_pts[near], gt)
+            entry["dense_accuracy_cm"] = round(float(m_dacc.accuracy_cm), 3)
             entry["dense_completeness_cm"] = round(
-                float(m_dense.completeness_cm), 3)
+                float(m_dcomp.completeness_cm), 3)
         else:
             # the dense sweep never saw this object (occluded from the
             # room-perimeter keyframes) — a genuine selective-vs-dense
@@ -257,9 +278,6 @@ def headline_report(workdir: str,
     # combined-scene metrics (the eval_table_chair protocol evaluates the
     # whole proposal cloud against the whole-scene GT, not per object)
     all_prop = np.concatenate([r.points for r in prop_clouds.values()])
-    gt_all = sample_object_surfaces(list(scene.objects),
-                                    20000 * len(scene.objects), seed=seed)
-    gt_all = gt_all[gt_all[:, 2] >= 0.03]
     m_all = evaluate_map(all_prop, gt_all)
     report["combined_accuracy_cm"] = round(float(m_all.accuracy_cm), 3)
     report["combined_completeness_cm"] = round(
