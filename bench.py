@@ -355,9 +355,12 @@ def main():
     # the axon relay has been observed fully down (even jax.devices() hangs);
     # first contact after an outage has taken 75-90 s idle and >110 s under
     # host CPU load — two bounded attempts (the first warms the relay), then
-    # give up with the cached numbers + a diagnostic in ~4.5 min total
+    # give up with the cached numbers + a diagnostic in ~4.5 min total.
+    # OTSLAM_BENCH_PROBE_S widens the first attempt for known-flaky
+    # sessions (round 5 observed successful contacts needing ~200 s).
     t_probe = time.time()
-    probe = _run_child("probe", timeouts=(170, 100))
+    probe_s = int(os.environ.get("OTSLAM_BENCH_PROBE_S", "170"))
+    probe = _run_child("probe", timeouts=(probe_s, 100))
     if "error" in probe:
         snap["status"] = "device_unreachable"
         snap["device_unreachable"] = probe["error"]
