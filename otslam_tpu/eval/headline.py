@@ -291,6 +291,20 @@ def headline_report(workdir: str,
     report["dense_downsampled_bytes"] = ds_bytes
     report["size_reduction_downsampled_percent"] = round(
         100.0 * (1.0 - stats.hybrid_bytes / ds_bytes), 2)
+    # third framing — BOTH maps voxel-filtered at the reconstruction voxel
+    # size: per-MEMBER capture sites (round 5) overlap (a chair's frames
+    # legitimately see the table edge behind it), so the raw per-object
+    # PLYs double-store shared surfaces; at map resolution the union
+    # carries the same information. Symmetric with the dense_downsampled
+    # side (comparing raw selective vs downsampled dense mixes framings).
+    sel_pts, _, sel_mask = voxel_downsample(
+        jnp.asarray(all_prop.astype(np.float32)), voxel_size)
+    sel_ds_path = os.path.join(workdir, "selective_downsampled.ply")
+    tio.write_ply(sel_ds_path, np.asarray(sel_pts)[np.asarray(sel_mask)])
+    sel_ds_bytes = os.path.getsize(sel_ds_path) + os.path.getsize(pgm_path)
+    report["selective_downsampled_bytes"] = sel_ds_bytes
+    report["size_reduction_voxel_percent"] = round(
+        100.0 * (1.0 - sel_ds_bytes / ds_bytes), 2)
     report["reference_claim_percent"] = 99.0     # README.md:60
     report["hybrid_map_path"] = hybrid_path
     return report

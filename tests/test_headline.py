@@ -22,6 +22,11 @@ def test_headline_size_reduction_and_accuracy(tmp_path):
     # robust to the baseline-representation objection: even against a
     # 1 cm voxel-downsampled dense map the selective map is >=90% smaller
     assert rep["size_reduction_downsampled_percent"] >= 90.0
+    # symmetric framing: both maps voxel-filtered at the reconstruction
+    # voxel size (the per-member capture clouds of round 5 overlap, so the
+    # raw selective bytes double-store shared surfaces)
+    assert rep["size_reduction_voxel_percent"] >= 90.0
+    assert rep["selective_downsampled_bytes"] < rep["hybrid_bytes"]
     m = rep["objects"]["Object_0"]
     # beats the published cardboard-box accuracy (4.15 cm,
     # eval/result_plot.py:9-10) by a wide margin
