@@ -84,13 +84,19 @@ def measure() -> dict:
         return timed
 
     if on_tpu:
-        counts = (15, 30, 60)
+        # 120 doubles the fitted span: at windowed speed (~1.5 ms/iter) a
+        # 15..60 span is ~70 ms against ~±10 ms tunnel noise, and a noisy
+        # sample with 13% residual once slipped through the default 25%
+        # gate at 1.7x the clean-fit cluster; 8% + the longer span keeps
+        # only fits whose scatter is well below the measured signal
+        counts = (15, 30, 60, 120)
         ceil = _ceiling(n, n)
         est_win = measure_marginal_rate(
             make_timed("windowed", nn_window=window, nn_axis=axis),
-            counts, attempts=3, ceiling=ceil)
+            counts, attempts=3, ceiling=ceil, max_residual_rel=0.08)
         est_full = measure_marginal_rate(
-            make_timed("full_scan"), counts, attempts=3, ceiling=ceil)
+            make_timed("full_scan"), counts, attempts=3, ceiling=ceil,
+            max_residual_rel=0.08)
         res = run(counts[-1], nn_window=window, nn_axis=axis)
         rmse = float(res.inlier_rmse)
 
