@@ -438,6 +438,16 @@ class MissionRunner:
                 idle_ticks = 0
                 idle_passes = 0
             else:
+                # queue empty + manager idle = the same state as the
+                # initial live search (the reference boots with tracking
+                # enabled to find the first object, manager_node.cpp:67-78):
+                # re-enable tracking so evidence that accumulated while
+                # frozen (scans/transits of earlier missions) can surface
+                # as new objects — otherwise the post-first-scan freeze
+                # persists forever and anything confirmed later is
+                # deadlocked out of the mission
+                if self.sender.pending_count() == 0:
+                    self._set_tracking(True)
                 # idle shutdown needs BOTH >10 ticks of idle sim time AND
                 # >=3 idle control passes: at large perception batches one
                 # pass already covers >10 ticks, and a single idle pass can

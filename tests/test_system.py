@@ -153,3 +153,39 @@ class TestNewCLI:
         out = capsys.readouterr().out
         assert "Cardboard Box" in out
         assert os.path.getsize(str(tmp_path / "r.png")) > 1000
+
+
+class TestTransitPerception:
+    """Perception runs DURING navigation (round 5) and tracking re-enables
+    when the mission queue drains: an object beyond lidar range of the
+    start pose — whose evidence only accumulates from transit/visiting
+    viewpoints while the tracker is frozen for earlier missions — is still
+    discovered and scanned. Without these, the post-first-scan freeze
+    (reference semantics, 3_multi_object_goal_selector.cpp:157-160) locks
+    the mission to whatever was visible at boot."""
+
+    def test_far_object_discovered_and_scanned(self):
+        import dataclasses as dc
+        import tempfile
+
+        # A is inside lidar range of the start; B is well outside it and
+        # only enters range along the start->A approach and A's circle
+        a = Box((5.0, 0.0, 0.15), (0.6, 0.5, 0.3), 0.0, (0.7, 0.6, 0.4),
+                "box_a")                      # 9.8 m from start
+        b = Box((8.0, 6.0, 0.15), (0.6, 0.5, 0.3), 0.0, (0.4, 0.6, 0.7),
+                "box_b")                      # 15.6 m from start
+        world = Scene(objects=(a, b), room=(-12.0, 12.0, -12.0, 12.0))
+        assert np.hypot(8.0 - (-4.0), 6.0 - (-4.0)) > 10.0  # b invisible
+        cfg = OTSLAMConfig(camera=CAM, lidar=LIDAR,
+                           tracker=TrackerConfig.update_pipeline_profile())
+        runner = MissionRunner(
+            dc.replace(world, objects=()), world,
+            tempfile.mkdtemp(), cfg, start_pose=(-4.0, -4.0, 0.5),
+            perception_batch=5, transit_tick_period=0.5)
+        s = runner.run(max_ticks=900)
+        centers = [(x.cx, x.cy) for x in runner.tracker.stable_objects]
+        assert any(np.hypot(cx - 8.0, cy - 6.0) < 1.0
+                   for cx, cy in centers), centers
+        # ...and it was actually visited, not just tracked
+        assert len(s.labels) >= 2, s.labels
+        assert runner.sender.pending_count() == 0
